@@ -1,0 +1,70 @@
+"""aquery2_tpu — a TPU-native, vectorized, in-memory columnar query engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of AQuery++
+(reference: sunyinqi0508/AQuery2): an AQuery/SQL dialect with time-series
+extensions (ASSUMING sort-order assumptions, moving-window aggregates,
+subvec/pack), DDL/DML, hash group-by, joins, UDFs and aggregation UDFs,
+user modules, triggers, and stored procedures.
+
+Where the reference pairs an embedded MonetDB with per-query C++ codegen
+(reference: prompt.py:485-527, server/server.cpp:236-619), this engine
+lowers every query to jitted JAX programs over device-resident columns:
+filters are mask+compaction kernels, group-bys are perfect-hash
+scatter-adds or sort-segment reductions, window aggregates are
+associative scans, and multi-chip scaling uses jax.sharding meshes with
+XLA collectives instead of a second engine.
+
+Public entry points:
+    >>> import aquery2_tpu as aq
+    >>> db = aq.connect()
+    >>> db.execute("CREATE TABLE t(a INT, b INT)")
+    >>> db.execute("INSERT INTO t VALUES (1, 2), (3, 4)")
+    >>> db.execute("SELECT a, sum(b) FROM t GROUP BY a").to_pandas()
+"""
+
+from __future__ import annotations
+
+import jax
+
+# SQL semantics need exact 64-bit integer accumulation (the reference
+# promotes int aggregates to `long`, common/types.py:211-256). Hot kernels
+# opt back into 32-bit explicitly where safe.
+jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache — the TPU-native equivalent of the
+# reference's md5-checksummed build cache (build.py:205-247 pickles source
+# checksums to `.cached` to skip clang recompiles; we skip XLA recompiles).
+import os as _os  # noqa: E402
+
+if _os.environ.get("AQ_TPU_NO_COMPILE_CACHE") not in ("1", "true"):
+    _cache_dir = _os.environ.get(
+        "AQ_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/aquery2_tpu/xla")
+    )
+    _os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+__version__ = "0.1.0"
+
+from aquery2_tpu.storage.table import Table, Column  # noqa: E402
+from aquery2_tpu.storage.result import Result  # noqa: E402
+
+__all__ = [
+    "Session",
+    "connect",
+    "Table",
+    "Column",
+    "Result",
+    "__version__",
+]
+
+
+def __getattr__(name: str):
+    # Session pulls in the parser/engine stack; import lazily so the
+    # storage/ops layers stay usable standalone.
+    if name in ("Session", "connect"):
+        from aquery2_tpu.session import Session, connect
+
+        return {"Session": Session, "connect": connect}[name]
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

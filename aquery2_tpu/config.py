@@ -1,0 +1,79 @@
+"""Global configuration for aquery2_tpu.
+
+Plays the role of the reference's ``aquery_config.py`` (reference:
+aquery_config.py:4-32 — platform detection, env-var driven flags) but for a
+JAX/TPU engine: instead of picking a C++ compiler and MonetDB library paths,
+we pick a JAX backend, shape-bucketing policy, and kernel strategy knobs.
+
+Environment variables (all optional):
+    AQ_TPU_PLATFORM     force a jax platform ("tpu", "cpu") — like the
+                        reference's ``engine`` REPL command switching backends.
+    AQ_TPU_DEBUG        1 → verbose logging + pallas interpret mode.
+    AQ_TPU_STRICT_REF   1 (default) → mirror reference quirks bit-for-bit
+                        where feasible (e.g. ``var`` divides by n+1,
+                        reference: server/aggregations.h:333-348).
+    AQ_TPU_BUCKET       shape-bucketing policy: "pow2" (default), "exact".
+    AQ_TPU_DONATE       1 (default) → donate buffers on in-place ops.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+version_string = "0.1.0"
+
+# --- platform -------------------------------------------------------------
+
+os_platform = (
+    "win" if sys.platform.startswith("win")
+    else "mac" if sys.platform.startswith("darwin")
+    else "linux"
+)
+
+
+def _flag(name: str, default: bool) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v.strip() not in ("", "0", "false", "False", "no")
+
+
+debug: bool = _flag("AQ_TPU_DEBUG", False)
+
+# Mirror reference numeric quirks (var/(n+1) etc.) for result parity.
+strict_reference_semantics: bool = _flag("AQ_TPU_STRICT_REF", True)
+
+# Shape bucketing: pad device columns to the next bucket so XLA recompiles
+# O(log n) times instead of per-length (the reference recompiles C++ per
+# query; we amortize XLA compiles per *shape bucket*).
+bucket_policy: str = os.environ.get("AQ_TPU_BUCKET", "pow2")
+
+donate_buffers: bool = _flag("AQ_TPU_DONATE", True)
+
+# Forced platform, if any (resolved lazily by runtime.device).
+forced_platform: str | None = os.environ.get("AQ_TPU_PLATFORM") or None
+
+# Minimum padded capacity for a device column. Multiples of 1024 keep the
+# (8,128)/(16,128) TPU tile constraints satisfied after any reshape to 2D.
+MIN_CAPACITY = 1024
+
+# Direct-addressing (perfect-hash) group-by is used when the dense key
+# domain is at most this many slots (reference's PerfectHashTable caps the
+# packed key at 18 bits, server/hasher.h:209-322; on TPU HBM we can afford
+# much more).
+PERFECT_HASH_MAX_DOMAIN = 1 << 22
+
+# One-hot-matmul grouped reduction (MXU path) is used when the number of
+# groups is at most this.
+ONEHOT_MATMUL_MAX_GROUPS = 512
+
+
+def bucket_size(n: int) -> int:
+    """Padded capacity for a logical length ``n`` under the bucket policy."""
+    if bucket_policy == "exact":
+        return max(int(n), 1)
+    cap = MIN_CAPACITY
+    while cap < n:
+        cap <<= 1
+    return cap

@@ -1,0 +1,555 @@
+"""Expression evaluation — grouped and ungrouped, one code path.
+
+Counterpart of the reference's dual-target expression compiler
+(engine/expr.py renders SQL *and* C++ from each node, tracking
+is_special/is_compound :17-21) — here every expression evaluates directly
+to device arrays tagged with an evaluation *kind*:
+
+  'scalar' : python/0-d value            (literals, agg over whole table)
+  'row'    : one value per row [cap]     (columns, windowed ops)
+  'group'  : one value per group [gcap]  (aggregates under GROUP BY)
+
+Mixing kinds broadcasts: group→row via segment-id gather, scalar→any.
+Ungrouped queries evaluate with the trivial 1-group context, which makes
+SELECT max(price-mins(price)) and SELECT sd(a)+sales (scalar agg mixed
+with a bare column, tests/joins.a) fall out of the same rules the
+reference implements with its is_special/postproc machinery.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aquery2_tpu import config
+from aquery2_tpu import types as T
+from aquery2_tpu.ops import ragged, scan, segment
+from aquery2_tpu.ops.scan import _fp_dtype, _long_dtype
+from aquery2_tpu.parser import ast_nodes as A
+from aquery2_tpu.storage.table import Column, StringDict, Table, VectorColumn
+
+
+class EvalError(Exception):
+    pass
+
+
+@dataclass
+class Value:
+    kind: str                       # 'scalar' | 'row' | 'group'
+    data: Any                       # python scalar / jax array
+    sqltype: T.SQLType
+    dictionary: StringDict | None = None
+    mask: jax.Array | None = None   # row-kind: subvec row selection
+    pack_cols: list | None = None   # pack(): list of row arrays
+
+
+# --- scalar math registry (reference cstdlib bindings, types.py:368-374) --
+
+_MATH_FNS: dict[str, Callable] = {
+    "sqrt": jnp.sqrt, "exp": jnp.exp, "log": jnp.log, "ln": jnp.log,
+    "log2": jnp.log2, "log10": jnp.log10, "sin": jnp.sin, "cos": jnp.cos,
+    "tan": jnp.tan, "asin": jnp.arcsin, "acos": jnp.arccos,
+    "atan": jnp.arctan, "abs": jnp.abs, "floor": jnp.floor,
+    "ceil": jnp.ceil, "round": jnp.round, "sign": jnp.sign,
+}
+
+_AGG_NAMES = {"sum", "avg", "mean", "min", "max", "count", "var", "stddev",
+              "corr", "median", "first", "last", "distinct_count"}
+
+_RUNNING_NAMES = set(scan.RUNNING)
+_WINDOW_EXPLICIT = {"sumw", "avgw", "minw", "maxw", "varw", "stddevw", "ratiow"}
+
+
+class WorkingSet:
+    """Current row layout over one or more source tables.
+
+    Holds per-source row-index arrays (None = identity) so that joins,
+    ASSUMING sorts, and filters compose by permutation without copying
+    every column eagerly; gathered columns are cached."""
+
+    def __init__(self, sources: list[tuple[str | None, Table]],
+                 indices: list[jax.Array | None], n: int, capacity: int):
+        self.sources = sources          # [(alias, Table)]
+        self.indices = indices          # per source
+        self.n = n
+        self.capacity = capacity
+        self._cache: dict[tuple[int, str], jax.Array] = {}
+
+    @classmethod
+    def from_table(cls, table: Table, alias: str | None = None) -> "WorkingSet":
+        cap = config.bucket_size(max(table.nrows, 1))
+        return cls([(alias or table.name, table)], [None], table.nrows, cap)
+
+    # -- column resolution -------------------------------------------------
+
+    def find(self, name: str, qualifier: str | None = None):
+        """→ (source_idx, Column/VectorColumn) or raise."""
+        hits = []
+        for si, (alias, tbl) in enumerate(self.sources):
+            if qualifier and (alias or "").lower() != qualifier.lower() \
+                    and tbl.name.lower() != qualifier.lower():
+                continue
+            if name in tbl.columns:
+                hits.append((si, tbl.columns[name]))
+        if not hits:
+            q = f"{qualifier}." if qualifier else ""
+            raise EvalError(f"unknown column {q}{name}")
+        return hits[0]
+
+    def has_column(self, name: str, qualifier: str | None = None) -> bool:
+        try:
+            self.find(name, qualifier)
+            return True
+        except EvalError:
+            return False
+
+    def gather(self, si: int, col: Column) -> jax.Array:
+        key = (si, col.name.lower())
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        idx = self.indices[si]
+        if idx is None:
+            out = col.data[: self.capacity]
+            if out.shape[0] < self.capacity:
+                out = jnp.pad(out, (0, self.capacity - out.shape[0]))
+        else:
+            out = col.data[jnp.clip(idx[: self.capacity], 0, col.capacity - 1)]
+        self._cache[key] = out
+        return out
+
+    def column_value(self, name: str, qualifier: str | None = None) -> Value:
+        si, col = self.find(name, qualifier)
+        if isinstance(col, VectorColumn):
+            raise EvalError(
+                f"vector column {name} can only be passed whole to module "
+                f"functions / pack in this context")
+        arr = self.gather(si, col)
+        return Value("row", arr, col.sqltype, dictionary=col.dictionary)
+
+    def vector_column(self, name: str, qualifier: str | None = None):
+        si, col = self.find(name, qualifier)
+        return si, col
+
+    def all_columns(self) -> list[tuple[str, Value | tuple]]:
+        """For SELECT *: (name, Value|(si,VectorColumn)) in schema order,
+        de-duplicating natural-join key columns by name."""
+        out: list[tuple[str, Any]] = []
+        seen: set[str] = set()
+        for si, (alias, tbl) in enumerate(self.sources):
+            for col in tbl.columns.values():
+                k = col.name.lower()
+                if k in seen:
+                    continue
+                seen.add(k)
+                if isinstance(col, VectorColumn):
+                    out.append((col.name, (si, col)))
+                else:
+                    out.append((col.name, Value("row", self.gather(si, col),
+                                                col.sqltype, col.dictionary)))
+        return out
+
+    # -- layout transforms -------------------------------------------------
+
+    def permuted(self, perm: jax.Array, new_n: int) -> "WorkingSet":
+        new_cap = int(perm.shape[0])
+        idxs: list[jax.Array | None] = []
+        for idx in self.indices:
+            if idx is None:
+                idxs.append(perm)
+            else:
+                idxs.append(idx[jnp.clip(perm, 0, idx.shape[0] - 1)])
+        return WorkingSet(self.sources, idxs, new_n, new_cap)
+
+
+@dataclass
+class GroupInfo:
+    """Grouped-evaluation state; None fields for ungrouped contexts."""
+    grouping: Any                    # engine.groupby.Grouping or None
+    has_groups: bool
+    gcap: int                        # padded group capacity
+
+
+class EvalContext:
+    """Evaluation state: working set (row layout), grouping, session."""
+
+    def __init__(self, ws: WorkingSet, session=None, grouping=None):
+        self.ws = ws
+        self.session = session
+        self.grouping = grouping     # Grouping with rows already permuted
+        self.env: list[dict[str, Value]] = []   # UDF locals (lexical stack)
+
+        if grouping is not None:
+            self.has_groups = True
+            self.G = grouping.num_groups
+            self.gcap = config.bucket_size(max(self.G, 1))
+            self.seg = grouping.sorted_seg         # [cap]
+            self.pos = grouping.pos
+            self.flags = grouping.flags
+            off = grouping.offsets                 # host [G+1]
+            starts = np.zeros(self.gcap, dtype=np.int64)
+            ends = np.zeros(self.gcap, dtype=np.int64)
+            starts[: self.G] = off[:-1]
+            ends[: self.G] = off[1:]
+            self.group_starts = jnp.asarray(starts)
+            self.group_ends = jnp.asarray(ends)
+            self.group_lens = self.group_ends - self.group_starts
+        else:
+            self.has_groups = False
+            self.G = 1
+            self.gcap = 1
+            n, cap = ws.n, ws.capacity
+            idx = jnp.arange(cap, dtype=jnp.int32)
+            self.seg = jnp.where(idx < n, 0, 1).astype(jnp.int32)
+            self.pos = segment.flat_pos(cap)
+            self.flags = None
+            self.group_starts = jnp.zeros(1, jnp.int64)
+            self.group_ends = jnp.asarray([n], dtype=jnp.int64)
+            self.group_lens = self.group_ends - self.group_starts
+
+    # -- kind coercion -----------------------------------------------------
+
+    def to_row(self, v: Value) -> Value:
+        if v.kind == "row":
+            return v
+        if v.kind == "scalar":
+            return v  # jnp broadcasting handles python scalars
+        # group → row broadcast
+        arr = v.data
+        seg = jnp.clip(self.seg, 0, arr.shape[0] - 1)
+        return Value("row", arr[seg], v.sqltype, v.dictionary)
+
+    def np_offsets(self):
+        if self.grouping is not None:
+            return self.grouping.offsets
+        return np.asarray([0, self.ws.n], dtype=np.int64)
+
+    # -- main dispatch -----------------------------------------------------
+
+    def eval(self, e: A.Expr) -> Value:
+        if isinstance(e, A.Literal):
+            return self._literal(e)
+        if isinstance(e, A.ColumnRef):
+            return self._column(e)
+        if isinstance(e, A.BinOp):
+            return self._binop(e)
+        if isinstance(e, A.UnaryOp):
+            return self._unary(e)
+        if isinstance(e, A.Call):
+            return self._call(e)
+        if isinstance(e, A.CaseWhen):
+            return self._case(e)
+        if isinstance(e, A.Index):
+            return self._index(e)
+        if isinstance(e, A.Star):
+            raise EvalError("* not valid in this position")
+        raise EvalError(f"cannot evaluate {e!r}")
+
+    def _literal(self, e: A.Literal) -> Value:
+        v = e.value
+        if e.is_string:
+            return Value("scalar", v, T.StrT)
+        if v is None:
+            return Value("scalar", None, T.DoubleT)
+        if isinstance(v, bool):
+            return Value("scalar", v, T.BoolT)
+        if isinstance(v, int):
+            return Value("scalar", v, T.LongT if abs(v) > 2**31 else T.IntT)
+        return Value("scalar", float(v), T.DoubleT)
+
+    def _column(self, e: A.ColumnRef) -> Value:
+        # UDF locals shadow table columns
+        for frame in reversed(self.env):
+            if e.table is None and e.name in frame:
+                return frame[e.name]
+        return self.ws.column_value(e.name, e.table)
+
+    # -- binary / unary ----------------------------------------------------
+
+    def _coerce_literal(self, lit: Value, other: Value, op: str) -> Value:
+        """String literal vs date/string column → integer code."""
+        if lit.sqltype is T.StrT and isinstance(lit.data, str):
+            if other.sqltype.is_temporal:
+                return Value("scalar", T.parse_temporal_literal(other.sqltype, lit.data),
+                             other.sqltype)
+            if other.sqltype.is_string and other.dictionary is not None:
+                if op in ("=", "<>"):
+                    return Value("scalar", other.dictionary.lookup(lit.data), T.StrT)
+                # range comparison on strings: compare ranks
+                raise EvalError("string range comparison: use = / <> (TODO ranks)")
+        return lit
+
+    def _binop(self, e: A.BinOp) -> Value:
+        lv = self.eval(e.left)
+        rv = self.eval(e.right)
+        op = e.op
+        if isinstance(lv.data, str) or isinstance(rv.data, str):
+            if isinstance(lv.data, str) and isinstance(rv.data, str):
+                res = _str_compare(op, lv.data, rv.data)
+                return Value("scalar", res, T.BoolT)
+            if isinstance(lv.data, str):
+                lv = self._coerce_literal(lv, rv, op)
+            else:
+                rv = self._coerce_literal(rv, lv, op)
+        # string column vs string column across dictionaries
+        if (lv.sqltype.is_string and rv.sqltype.is_string
+                and lv.dictionary is not None and rv.dictionary is not None
+                and lv.dictionary is not rv.dictionary):
+            rv = _translate_codes(rv, lv.dictionary)
+
+        kind = _result_kind(lv.kind, rv.kind)
+        a = self.to_row(lv).data if kind == "row" else lv.data
+        b = self.to_row(rv).data if kind == "row" else rv.data
+
+        if op in ("and", "or"):
+            fn = jnp.logical_and if op == "and" else jnp.logical_or
+            data = fn(_as_bool(a), _as_bool(b))
+            return Value(kind, data, T.BoolT)
+        if op in ("=", "<>", "<", ">", "<=", ">="):
+            fn = {"=": jnp.equal, "<>": jnp.not_equal, "<": jnp.less,
+                  ">": jnp.greater, "<=": jnp.less_equal, ">=": jnp.greater_equal}[op]
+            return Value(kind, fn(a, b), T.BoolT)
+        if op == "like":
+            raise EvalError("LIKE requires host evaluation (TODO)")
+        lt, rt = lv.sqltype, rv.sqltype
+        if op == "+":
+            return Value(kind, jnp.add(a, b), T.promote(lt, rt))
+        if op == "-":
+            return Value(kind, jnp.subtract(a, b), T.promote(lt, rt))
+        if op == "*":
+            return Value(kind, jnp.multiply(a, b), T.promote(lt, rt))
+        if op == "/":
+            out_t = T.div_type(lt, rt)
+            af = a.astype(jnp.dtype(out_t.np_dtype)) if hasattr(a, "astype") else a
+            return Value(kind, jnp.true_divide(af, b), out_t)
+        if op == "%":
+            return Value(kind, jnp.mod(a, b), T.promote(lt, rt))
+        raise EvalError(f"unknown operator {op}")
+
+    def _unary(self, e: A.UnaryOp) -> Value:
+        v = self.eval(e.operand)
+        if e.op == "-":
+            return Value(v.kind, jnp.negative(v.data), v.sqltype, v.dictionary)
+        if e.op == "not":
+            return Value(v.kind, jnp.logical_not(_as_bool(v.data)), T.BoolT)
+        if e.op == "missing":
+            # columns currently track no null mask → nothing is missing
+            if v.kind == "scalar":
+                return Value("scalar", v.data is None, T.BoolT)
+            return Value(v.kind, jnp.zeros(v.data.shape, jnp.bool_), T.BoolT)
+        raise EvalError(f"unknown unary {e.op}")
+
+    def _case(self, e: A.CaseWhen) -> Value:
+        res = None
+        t = None
+        default = self.eval(e.default) if e.default is not None else None
+        acc = default
+        for cond, val in reversed(e.whens):
+            c = self.to_row(self.eval(cond))
+            v = self.to_row(self.eval(val))
+            t = v.sqltype if t is None else T.promote(t, v.sqltype)
+            base = acc.data if acc is not None else jnp.zeros((), v.data.dtype)
+            res = jnp.where(_as_bool(c.data), v.data, base)
+            acc = Value("row", res, t)
+        return acc if acc is not None else Value("scalar", None, T.DoubleT)
+
+    def _index(self, e: A.Index) -> Value:
+        base = self.eval(e.base)
+        idx = self.eval(e.index)
+        if base.kind == "row" and idx.kind == "scalar":
+            i = jnp.asarray(idx.data, jnp.int32)
+            return Value("scalar", base.data[i], base.sqltype, base.dictionary)
+        if base.kind == "row":
+            iv = self.to_row(idx)
+            gathered = base.data[jnp.clip(iv.data.astype(jnp.int32), 0,
+                                          base.data.shape[0] - 1)]
+            return Value("row", gathered, base.sqltype, base.dictionary)
+        raise EvalError("unsupported indexing")
+
+    # -- calls -------------------------------------------------------------
+
+    def _call(self, e: A.Call) -> Value:
+        name = e.func
+
+        # UDFs first (user functions may shadow builtins? reference
+        # registers them alongside builtins; we give builtins priority
+        # except when a UDF of the same name exists)
+        if self.session is not None and name in self.session.udfs:
+            return self._call_udf(self.session.udfs[name], e)
+        if self.session is not None and name in self.session.module_functions:
+            return self._call_module(self.session.module_functions[name], e)
+
+        if name == "count" and (not e.args or isinstance(e.args[0], A.Star)):
+            return Value("group", self.group_lens, T.LongT)
+
+        if name in _AGG_NAMES:
+            return self._call_agg(name, e)
+
+        if name in _RUNNING_NAMES or name in _WINDOW_EXPLICIT:
+            return self._call_windowed(name, e)
+
+        if name == "subvec":
+            return self._call_subvec(e)
+        if name == "pack":
+            cols = [self.to_row(self.eval(a)) for a in e.args]
+            elem = cols[0].sqltype
+            for c in cols[1:]:
+                elem = T.promote(elem, c.sqltype)
+            return Value("row", cols[0].data, T.VectorT(elem),
+                         pack_cols=[c.data for c in cols])
+        if name == "missing":
+            return self._unary(A.UnaryOp("missing", e.args[0]))
+        if name == "pow":
+            a = self.eval(e.args[0])
+            b = self.eval(e.args[1])
+            kind = _result_kind(a.kind, b.kind)
+            av = self.to_row(a).data if kind == "row" else a.data
+            bv = self.to_row(b).data if kind == "row" else b.data
+            return Value(kind, jnp.power(_as_float(av), bv), T.DoubleT)
+        if name == "truncate":
+            a = self.eval(e.args[0])
+            p = self.eval(e.args[1])
+            mult = 10.0 ** int(_host_scalar(p.data))
+            return Value(a.kind, jnp.round(_as_float(a.data) * mult) / mult,
+                         T.fp_type(a.sqltype))
+        if name in _MATH_FNS:
+            v = self.eval(e.args[0])
+            data = _MATH_FNS[name](_as_float(v.data))
+            return Value(v.kind, data, T.fp_type(v.sqltype))
+
+        raise EvalError(f"unknown function {name}")
+
+    def _call_agg(self, name: str, e: A.Call) -> Value:
+        from aquery2_tpu.engine import grouped_agg
+
+        args = [self.to_row(self.eval(a)) for a in e.args]
+        # scalar fallback: agg of a scalar is the reference's no-op table
+        # (aggregations.h:499-527)
+        if args and args[0].kind == "scalar":
+            return _scalar_agg_fallback(name, args)
+        return grouped_agg.compute(self, name, args)
+
+    def _call_windowed(self, name: str, e: A.Call) -> Value:
+        args = list(e.args)
+        w = None
+        base = name
+        if base in _WINDOW_EXPLICIT:
+            base = {"sumw": "sums", "avgw": "avgs", "minw": "mins",
+                    "maxw": "maxs", "varw": "vars", "stddevw": "stddevs",
+                    "ratiow": "ratios"}[base]
+            w = int(_host_scalar(self.eval(args[0]).data))
+            args = args[1:]
+        elif len(args) == 2 and base in scan.WINDOWED:
+            # two-arg form avgs(3, x) = windowed (reference types.py:349-357)
+            w = int(_host_scalar(self.eval(args[0]).data))
+            args = args[1:]
+        vals = [self.to_row(self.eval(a)) for a in args]
+        v = vals[0]
+        if v.kind == "scalar":
+            return _scalar_window_fallback(base, v)
+        if w is None:
+            fn = scan.RUNNING[base]
+            data = fn(v.data, self.pos, self.flags)
+        else:
+            fn = scan.WINDOWED[base]
+            data = fn(w, v.data, self.pos, self.flags)
+        return Value("row", data, scan.result_type(base, v.sqltype), v.dictionary)
+
+    def _call_subvec(self, e: A.Call) -> Value:
+        v = self.to_row(self.eval(e.args[0]))
+        a = int(_host_scalar(self.eval(e.args[1]).data))
+        b = int(_host_scalar(self.eval(e.args[2]).data))
+        mask = (self.pos >= a) & (self.pos < b)
+        if v.mask is not None:
+            mask = mask & v.mask
+        return Value("row", v.data, v.sqltype, v.dictionary, mask=mask)
+
+    def _call_udf(self, udf, e: A.Call) -> Value:
+        from aquery2_tpu.engine import udf as udf_mod
+
+        args = [self.eval(a) for a in e.args]
+        if udf.is_aggregation:
+            return udf_mod.run_aggregation_udf(self, udf, args)
+        return udf_mod.run_scalar_udf(self, udf, args)
+
+    def _call_module(self, fn, e: A.Call) -> Value:
+        from aquery2_tpu.sdk import modules as sdk_modules
+
+        return sdk_modules.call_module_function(self, fn, list(e.args))
+
+
+# --- helpers --------------------------------------------------------------
+
+def _result_kind(a: str, b: str) -> str:
+    if "row" in (a, b):
+        return "row"
+    if "group" in (a, b):
+        return "group"
+    return "scalar"
+
+
+def _as_bool(x):
+    if isinstance(x, (bool, int, float)):
+        return bool(x)
+    if hasattr(x, "dtype") and x.dtype != jnp.bool_:
+        return x != 0
+    return x
+
+
+def _as_float(x):
+    if isinstance(x, (int, float)):
+        return float(x)
+    if hasattr(x, "dtype") and x.dtype.kind != "f":
+        return x.astype(jnp.float64)
+    return x
+
+
+def _host_scalar(x) -> Any:
+    if hasattr(x, "shape"):
+        return np.asarray(x).item() if x.shape == () else np.asarray(x).reshape(-1)[0].item()
+    return x
+
+
+def _str_compare(op: str, a: str, b: str):
+    return {"=": a == b, "<>": a != b, "<": a < b, ">": a > b,
+            "<=": a <= b, ">=": a >= b}[op]
+
+
+def _translate_codes(v: Value, target: StringDict) -> Value:
+    src = v.dictionary
+    remap = np.asarray([target.lookup(s) for s in src.strings()], dtype=np.int32)
+    if len(remap) == 0:
+        return replace(v, dictionary=target)
+    data = jnp.asarray(remap)[jnp.clip(v.data, 0, len(remap) - 1)]
+    return Value(v.kind, data, v.sqltype, target, v.mask)
+
+
+def _scalar_agg_fallback(name: str, args: list[Value]) -> Value:
+    """Aggregate applied to a scalar — reference's constexpr no-op table
+    (aggregations.h:499-527): sum/avg/min/max/first/last = identity,
+    count = 1, var/stddev = 0, corr = nan-ish (we return 1.0 identity-less
+    cases conservatively)."""
+    v = args[0]
+    if name in ("sum", "avg", "mean", "min", "max", "first", "last", "median"):
+        return v
+    if name == "count":
+        return Value("scalar", 1, T.LongT)
+    if name in ("var", "stddev"):
+        return Value("scalar", 0.0, T.DoubleT)
+    if name == "corr":
+        return Value("scalar", float("nan"), T.DoubleT)
+    raise EvalError(f"aggregate {name} of scalar")
+
+
+def _scalar_window_fallback(name: str, v: Value) -> Value:
+    if name in ("sums", "avgs", "mins", "maxs", "prev", "next", "aggnext"):
+        return v
+    if name in ("deltas", "vars", "stddevs"):
+        return Value("scalar", 0, v.sqltype)
+    if name == "ratios":
+        return Value("scalar", 1.0, T.DoubleT)
+    return v

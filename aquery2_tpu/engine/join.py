@@ -1,0 +1,83 @@
+"""Equi-join: hash-partition-free sort-merge on device.
+
+The reference joins via its generic hash table (AQHashTable build+probe in
+generated C++, engine/ast.py:874-1090, hasher.h:146-199) and extracts
+equi-conditions from WHERE into a column-equivalence graph (`joint_cols`).
+TPU-native design (BASELINE.json north star): we hash each side's key
+tuple to 64 bits, sort the build side by hash, binary-search probe ranges
+(searchsorted — log-depth, branch-free, vectorizes), expand variable
+multiplicities CSR-style, then **verify real key equality** to discard the
+astronomically-rare hash collisions — giving exact join semantics without
+device hash tables.
+
+Output pair order is deterministic: by left row, then by build-side sorted
+position.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aquery2_tpu import config
+from aquery2_tpu.ops import hashing, ragged
+from aquery2_tpu.ops.sort import sort_perm
+
+
+def _key_hash(cols: list[jax.Array], n: int) -> jax.Array:
+    hs = [hashing.hash64(c.astype(jnp.int64)) for c in cols]
+    h = hs[0] if len(hs) == 1 else hashing.combine_hashes(hs)
+    # make padding rows un-matchable
+    idx = jnp.arange(h.shape[0], dtype=jnp.int32)
+    return jnp.where(idx < n, h, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+
+
+def _order_preserving_i64(h: jax.Array) -> jax.Array:
+    """uint64 → int64 keeping order (flip the sign bit)."""
+    return (h ^ jnp.uint64(0x8000000000000000)).astype(jnp.int64)
+
+
+@jax.jit
+def _probe_counts(lkeys: tuple, rkeys: tuple, ln, rn):
+    lh = _order_preserving_i64(_key_hash(list(lkeys), ln))
+    rh = _order_preserving_i64(_key_hash(list(rkeys), rn))
+    perm_r = sort_perm([(rh, True)], rn)
+    rh_sorted = rh[perm_r]
+    lo = jnp.searchsorted(rh_sorted, lh, side="left")
+    hi = jnp.searchsorted(rh_sorted, lh, side="right")
+    idx = jnp.arange(lh.shape[0], dtype=jnp.int32)
+    counts = jnp.where(idx < ln, (hi - lo).astype(jnp.int64), 0)
+    total = jnp.sum(counts)
+    return counts, total, lo, perm_r
+
+
+@partial(jax.jit, static_argnames=("total_cap",))
+def _expand_pairs(counts, total, lo, perm_r, lkeys: tuple, rkeys: tuple, total_cap: int):
+    li, within, valid = ragged.expand(counts, total_cap, total)
+    ri_sorted_pos = lo[li] + within
+    ri = perm_r[jnp.clip(ri_sorted_pos, 0, perm_r.shape[0] - 1)]
+    # collision verification: require true equality on every key column
+    ok = valid
+    for lk, rk in zip(lkeys, rkeys):
+        ok = ok & (lk[li] == rk[ri])
+    m = jnp.sum(ok.astype(jnp.int64))
+    # compact verified pairs to the front (stable)
+    cperm = jnp.argsort(~ok, stable=True)
+    return li[cperm], ri[cperm], m
+
+
+def equi_join(lkeys: list[jax.Array], rkeys: list[jax.Array], ln: int, rn: int):
+    """Inner equi-join. Returns (li, ri, m): row-index arrays (padded) into
+    the left/right tables and the number of result pairs (host int).
+
+    Key arrays must already be comparable (string columns translated into a
+    common dictionary by the caller)."""
+    counts, total, lo, perm_r = _probe_counts(tuple(lkeys), tuple(rkeys), ln, rn)
+    t = int(total)
+    total_cap = config.bucket_size(max(t, 1))
+    li, ri, m = _expand_pairs(counts, total, lo, perm_r,
+                              tuple(lkeys), tuple(rkeys), total_cap)
+    return li, ri, int(m)
