@@ -1,0 +1,729 @@
+"""Statement executor: DDL/DML/SELECT against a Session.
+
+Counterpart of the reference's hybrid-engine compiler + C++ dispatcher
+(engine/ast.py node classes → SQL + C++ → server.cpp command loop). Here
+each parsed statement executes directly; SELECT lowers to the device
+kernel pipeline:
+
+    sources (join) → ASSUMING sort → WHERE compaction → GROUP BY
+    → projection eval (grouped expression kinds) → HAVING → ORDER BY
+    → DISTINCT → LIMIT → INTO
+
+Reference parity anchors are noted per method.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from aquery2_tpu import config
+from aquery2_tpu import types as T
+from aquery2_tpu.engine import groupby as gb
+from aquery2_tpu.engine import join as join_mod
+from aquery2_tpu.engine.eval import (
+    EvalContext, EvalError, Value, WorkingSet, _translate_codes,
+)
+from aquery2_tpu.ops import filter as filter_ops
+from aquery2_tpu.ops import ragged
+from aquery2_tpu.ops.sort import sort_perm
+from aquery2_tpu.parser import ast_nodes as A
+from aquery2_tpu.storage import csvio
+from aquery2_tpu.storage.result import Result
+from aquery2_tpu.storage.table import Column, StringDict, Table, VectorColumn
+from aquery2_tpu.utils import base62uuid, legal_name
+
+
+class ExecError(Exception):
+    pass
+
+
+class Executor:
+    def __init__(self, session) -> None:
+        self.session = session
+
+    # ------------------------------------------------------------------ #
+    # statement dispatch
+    # ------------------------------------------------------------------ #
+
+    def execute(self, stmt: A.Statement) -> Result | None:
+        if isinstance(stmt, A.CreateTable):
+            return self._create_table(stmt)
+        if isinstance(stmt, A.DropTable):
+            self.session.catalog.drop(stmt.name, if_exists=stmt.if_exists)
+            return None
+        if isinstance(stmt, A.Insert):
+            return self._insert(stmt)
+        if isinstance(stmt, A.Delete):
+            return self._delete(stmt)
+        if isinstance(stmt, A.Load):
+            tbl = self.session.catalog.get(stmt.table)
+            csvio.load_csv_into(tbl, self.session.resolve_path(stmt.path),
+                                field_sep=stmt.field_sep,
+                                element_sep=stmt.element_sep,
+                                complex_cells=stmt.complex)
+            self.session.notify_insert(tbl.name)
+            return None
+        if isinstance(stmt, A.Select):
+            table = self.run_select(stmt)
+            return Result(table) if table is not None else None
+        if isinstance(stmt, A.CreateFunction):
+            from aquery2_tpu.engine.udf import Udf
+
+            self.session.udfs[stmt.name.lower()] = Udf(stmt)
+            return None
+        if isinstance(stmt, A.LoadModule):
+            from aquery2_tpu.sdk import modules as sdk_modules
+
+            sdk_modules.load_module(self.session, stmt)
+            return None
+        if isinstance(stmt, A.CreateTrigger):
+            self.session.triggers.create(stmt)
+            return None
+        if isinstance(stmt, A.DropTrigger):
+            self.session.triggers.drop(stmt.name)
+            return None
+        if isinstance(stmt, A.CreateIndex):
+            return None  # indexes are a no-op: scans are always vectorized
+        if isinstance(stmt, A.CacheTable):
+            return None  # tables are always device-resident here
+        if isinstance(stmt, A.PassthroughSQL):
+            # the reference forwards to MonetDB; we ARE the SQL engine:
+            # parse and run the inner statements (engine/ast.py:1814-1841)
+            from aquery2_tpu.parser import parse
+
+            last = None
+            for s in parse(stmt.text):
+                r = self.execute(s)
+                if r is not None:
+                    last = r
+            return last
+        raise ExecError(f"cannot execute {type(stmt).__name__}")
+
+    # ------------------------------------------------------------------ #
+    # DDL / DML
+    # ------------------------------------------------------------------ #
+
+    def _create_table(self, stmt: A.CreateTable) -> None:
+        if stmt.as_select is not None:
+            tbl = self.run_select(stmt.as_select)
+            tbl.name = stmt.name
+            self.session.catalog.create(tbl, replace=True)
+            return None
+        cols: list[Column | VectorColumn] = []
+        for cd in stmt.columns:
+            t = T.from_sql_name(cd.type_name)
+            if t.is_vector:
+                cols.append(VectorColumn.from_lists(cd.name, t, []))
+            elif t.is_string:
+                cols.append(Column.from_host(cd.name, t, [], dictionary=StringDict()))
+            else:
+                cols.append(Column.from_host(cd.name, t, []))
+        self.session.catalog.create(Table(stmt.name, cols))
+        return None
+
+    def _insert(self, stmt: A.Insert) -> None:
+        tbl = self.session.catalog.get(stmt.table)
+        if stmt.select is not None:
+            src = self.run_select(stmt.select)
+            tbl.append_table(src)
+        else:
+            rows = []
+            for row in stmt.values:
+                vals = []
+                for e in row:
+                    if isinstance(e, A.Literal):
+                        vals.append(e.value)
+                    elif isinstance(e, A.UnaryOp) and e.op == "-" and \
+                            isinstance(e.operand, A.Literal):
+                        vals.append(-e.operand.value)
+                    else:
+                        ctx = EvalContext(_empty_ws(), self.session)
+                        vals.append(_host_item(ctx.eval(e).data))
+                rows.append(vals)
+            if stmt.columns:
+                order = [c.lower() for c in stmt.columns]
+                names = [c.lower() for c in tbl.column_names()]
+                if set(order) != set(names):
+                    raise ExecError("INSERT column list must cover all columns")
+                perm = [order.index(n) for n in names]
+                rows = [[r[i] for i in perm] for r in rows]
+            tbl.append_rows(rows)
+        self.session.notify_insert(tbl.name)
+        return None
+
+    def _delete(self, stmt: A.Delete) -> None:
+        tbl = self.session.catalog.get(stmt.table)
+        if stmt.where is None:
+            for name in tbl.column_names():
+                col = tbl.columns[name]
+                if isinstance(col, VectorColumn):
+                    tbl.columns[name] = VectorColumn.from_lists(
+                        col.name, col.sqltype, [], dictionary=col.dictionary)
+                else:
+                    tbl.columns[name] = Column(
+                        col.name, col.sqltype,
+                        np.zeros(0, dtype=col.data.dtype), nrows=0,
+                        dictionary=col.dictionary)
+            return None
+        ws = WorkingSet.from_table(tbl)
+        ctx = EvalContext(ws, self.session)
+        keep = ctx.eval(A.UnaryOp("not", stmt.where))
+        ws2, _ = self._apply_filter(ws, ctx.to_row(keep))
+        for name in tbl.column_names():
+            v = ws2.column_value(name)
+            tbl.columns[name] = Column(name, v.sqltype, v.data, nrows=ws2.n,
+                                       dictionary=v.dictionary)
+        return None
+
+    # ------------------------------------------------------------------ #
+    # SELECT pipeline
+    # ------------------------------------------------------------------ #
+
+    def run_select(self, sel: A.Select) -> Table:
+        ws, residual_where = self._build_sources(sel)
+
+        if sel.assumptions:
+            ws = self._apply_assuming(ws, sel.assumptions)
+
+        if residual_where is not None:
+            ctx0 = EvalContext(ws, self.session)
+            mv = ctx0.eval(residual_where)
+            ws, _ = self._apply_filter(ws, ctx0.to_row(mv))
+
+        grouping = None
+        key_value_list: list[Value] = []
+        if sel.group_by:
+            ctx0 = EvalContext(ws, self.session)
+            key_value_list = [ctx0.to_row(ctx0.eval(e)) for e in sel.group_by]
+            keys = [_KeyCol(v.data, ws.n) for v in key_value_list]
+            grouping = gb.group_by(keys, ws.n)
+            ws = ws.permuted(grouping.order, ws.n)
+
+        ctx = EvalContext(ws, self.session, grouping)
+
+        projections = self._expand_projections(sel, ws)
+        named: list[tuple[str, Value | tuple]] = []
+        for name, expr in projections:
+            v = self._eval_projection(ctx, sel, expr, key_value_list, grouping)
+            named.append((name, v))
+
+        table = self._materialize(ctx, named, has_groupby=grouping is not None)
+
+        if sel.having is not None:
+            table = self._apply_having(ctx, sel, table, named, grouping)
+
+        for kind, sub in sel.unions:
+            sub_t = self.run_select(sub)
+            table.append_table(sub_t)
+            if kind == "distinct":
+                table = self._distinct(table)
+
+        if sel.distinct:
+            table = self._distinct(table)
+
+        if sel.order_by:
+            table = self._apply_order(ctx, sel, table)
+
+        if sel.limit is not None:
+            table = _limit_table(table, sel.limit)
+
+        if sel.into_table:
+            table.name = sel.into_table
+            self.session.catalog.create(table, replace=True)
+        if sel.into_outfile:
+            Result(table).to_csv(
+                self.session.resolve_path(sel.into_outfile),
+                sep=sel.outfile_sep, header=False)
+        return table
+
+    # -- sources -----------------------------------------------------------
+
+    def _build_sources(self, sel: A.Select):
+        """Resolve FROM into a WorkingSet; returns (ws, residual_where).
+
+        Equi-conditions in WHERE that connect two sources become join keys
+        (the reference builds the same `joint_cols` equivalence graph,
+        engine/ast.py:874-1090)."""
+        if not sel.sources:
+            return _empty_ws(), sel.where
+
+        conjuncts = _split_conjuncts(sel.where)
+        used = [False] * len(conjuncts)
+
+        def leaf(ts: A.TableSource) -> WorkingSet:
+            tbl = self.session.catalog.get(ts.name)
+            return WorkingSet.from_table(tbl, ts.alias)
+
+        def build(src: A.Source) -> WorkingSet:
+            if isinstance(src, A.TableSource):
+                return leaf(src)
+            left = build(src.left)
+            right = build(src.right)
+            if src.kind == "natural":
+                keys = _common_columns(left, right)
+                if not keys:
+                    raise ExecError("NATURAL JOIN with no common columns")
+                pairs = [((None, k), (None, k)) for k in keys]
+            elif src.using:
+                pairs = [((None, k), (None, k)) for k in src.using]
+            elif src.on is not None:
+                on_conj = _split_conjuncts(src.on)
+                pairs = []
+                for c in on_conj:
+                    p = _equi_pair(c, left, right)
+                    if p is None:
+                        raise ExecError(f"unsupported join condition {c}")
+                    pairs.append(p)
+            elif src.kind == "cross":
+                raise ExecError("CROSS JOIN not supported yet")
+            else:
+                raise ExecError("JOIN requires ON/USING")
+            return self._join(left, right, pairs)
+
+        ws = build(sel.sources[0])
+        for src in sel.sources[1:]:
+            right = build(src)
+            pairs = []
+            for i, c in enumerate(conjuncts):
+                if used[i]:
+                    continue
+                p = _equi_pair(c, ws, right)
+                if p is not None:
+                    pairs.append(p)
+                    used[i] = True
+            if not pairs:
+                raise ExecError(
+                    "comma-join without a connecting equality in WHERE "
+                    "(cartesian products not supported)")
+            ws = self._join(ws, right, pairs)
+
+        residual = _join_conjuncts([c for i, c in enumerate(conjuncts) if not used[i]])
+        return ws, residual
+
+    def _join(self, left: WorkingSet, right: WorkingSet, pairs) -> WorkingSet:
+        lkeys, rkeys = [], []
+        for (lq, lname), (rq, rname) in pairs:
+            lv = left.column_value(lname, lq)
+            rv = right.column_value(rname, rq)
+            if lv.sqltype.is_string and rv.dictionary is not None \
+                    and lv.dictionary is not None and rv.dictionary is not lv.dictionary:
+                rv = _translate_codes(rv, lv.dictionary)
+            lkeys.append(lv.data)
+            rkeys.append(rv.data)
+        li, ri, m = join_mod.equi_join(lkeys, rkeys, left.n, right.n)
+        cap = config.bucket_size(max(m, 1))
+        li = li[:cap]
+        ri = ri[:cap]
+        sources = left.sources + right.sources
+        indices: list = []
+        for idx in left.indices:
+            indices.append(li if idx is None else idx[jnp.clip(li, 0, idx.shape[0] - 1)])
+        for idx in right.indices:
+            indices.append(ri if idx is None else idx[jnp.clip(ri, 0, idx.shape[0] - 1)])
+        return WorkingSet(sources, indices, m, cap)
+
+    def _apply_assuming(self, ws: WorkingSet, assumptions) -> WorkingSet:
+        keys = []
+        for a in assumptions:
+            v = ws.column_value(a.col.name, a.col.table)
+            arr = v.data
+            if v.sqltype.is_string and v.dictionary is not None:
+                ranks = jnp.asarray(v.dictionary.ranks)
+                arr = ranks[jnp.clip(arr, 0, len(v.dictionary) - 1)]
+            keys.append((arr, a.ascending))
+        perm = sort_perm(keys, ws.n)
+        return ws.permuted(perm, ws.n)
+
+    def _apply_filter(self, ws: WorkingSet, mask_value: Value):
+        mask = mask_value.data
+        if mask.dtype != jnp.bool_:
+            mask = mask != 0
+        idx = jnp.arange(mask.shape[0], dtype=jnp.int32)
+        mask = mask & (idx < ws.n)
+        perm, cnt = filter_ops.compact_indices(mask)
+        n = int(cnt)
+        cap = config.bucket_size(max(n, 1))
+        return ws.permuted(perm[:cap], n), n
+
+    # -- projections -------------------------------------------------------
+
+    def _expand_projections(self, sel: A.Select, ws: WorkingSet):
+        out: list[tuple[str, A.Expr | Value | tuple]] = []
+        names_seen: dict[str, int] = {}
+
+        def uname(base: str) -> str:
+            k = base.lower()
+            if k not in names_seen:
+                names_seen[k] = 0
+                return base
+            names_seen[k] += 1
+            return f"{base}_{names_seen[k]}"
+
+        for p in sel.projections:
+            if isinstance(p.expr, A.Star):
+                for cname, val in ws.all_columns():
+                    out.append((uname(cname), val))
+                continue
+            name = p.alias or _derive_name(p.expr)
+            out.append((uname(name), p.expr))
+        return out
+
+    def _eval_projection(self, ctx: EvalContext, sel: A.Select, expr,
+                         key_value_list, grouping) -> Value:
+        if isinstance(expr, Value):           # pre-resolved (SELECT *)
+            return expr
+        if isinstance(expr, tuple):           # (si, VectorColumn) from *
+            return expr
+        if grouping is not None:
+            ki = _match_group_key(expr, sel.group_by)
+            if ki is not None:
+                kv = key_value_list[ki]
+                data = grouping.key_values[ki]
+                gcap = ctx.gcap
+                if data.shape[0] < gcap:
+                    data = jnp.pad(data, (0, gcap - data.shape[0]))
+                return Value("group", data[:gcap], kv.sqltype, kv.dictionary)
+        return ctx.eval(expr)
+
+    # -- materialization ---------------------------------------------------
+
+    def _materialize(self, ctx: EvalContext, named, has_groupby: bool) -> Table:
+        name_ = f"result_{base62uuid(4)}"
+        has_row = any(isinstance(v, Value) and v.kind == "row"
+                      or isinstance(v, tuple) for _, v in named)
+        if has_groupby:
+            nrows = ctx.G
+        elif has_row:
+            nrows = ctx.ws.n
+        else:
+            nrows = 1 if named else 0
+
+        cols: list[Column | VectorColumn] = []
+        for name, v in named:
+            cols.append(self._materialize_one(ctx, name, v, has_groupby, nrows))
+        t = Table.__new__(Table)
+        t.name = name_
+        from aquery2_tpu.utils import CaseInsensitiveDict
+
+        t.columns = CaseInsensitiveDict()
+        t.sorted_by = ()
+        for c in cols:
+            t.columns[c.name] = c
+        return t
+
+    def _materialize_one(self, ctx: EvalContext, name: str, v,
+                         has_groupby: bool, nrows: int):
+        if isinstance(v, tuple):  # passthrough VectorColumn from SELECT *
+            si, vcol = v
+            idx = ctx.ws.indices[si]
+            if idx is None:
+                return vcol.with_name(name)
+            total_cap = config.bucket_size(max(int(np.asarray(vcol.offsets[-1])), 1))
+            vals, offs = ragged.take(vcol.values, vcol.offsets,
+                                     idx.astype(jnp.int32), ctx.ws.n,
+                                     total_cap, int(np.asarray(vcol.offsets[-1])))
+            return VectorColumn(name, vcol.sqltype, vals,
+                                np.asarray(offs[: ctx.ws.n + 1]),
+                                nrows=ctx.ws.n, dictionary=vcol.dictionary)
+
+        assert isinstance(v, Value)
+        if v.pack_cols is not None:
+            k = len(v.pack_cols)
+            n = nrows if not has_groupby else ctx.ws.n
+            stacked = jnp.stack([c[: ctx.ws.capacity] for c in v.pack_cols],
+                                axis=1).reshape(-1)
+            offsets = np.arange(n + 1, dtype=np.int64) * k
+            return VectorColumn(name, v.sqltype, stacked[: n * k], offsets,
+                                nrows=n)
+
+        if v.kind == "scalar":
+            t = v.sqltype
+            if isinstance(v.data, str):
+                d = StringDict()
+                code = d.encode_one(v.data)
+                arr = np.full(nrows, code, dtype=np.int32)
+                return Column(name, T.StrT, arr, nrows=nrows, dictionary=d)
+            val = _host_item(v.data)
+            arr = np.full(nrows, val if val is not None else 0,
+                          dtype=t.np_dtype)
+            return Column(name, t, arr, nrows=nrows)
+
+        if v.kind == "group":
+            data = v.data
+            if has_groupby:
+                return Column(name, v.sqltype, data[: max(ctx.G, 1)],
+                              nrows=ctx.G, dictionary=v.dictionary)
+            # trivial group (whole-table agg) → single row
+            return Column(name, v.sqltype, data[:1], nrows=nrows,
+                          dictionary=v.dictionary)
+
+        # row kind
+        if not has_groupby:
+            if v.mask is not None:
+                perm, cnt = filter_ops.compact_indices(
+                    v.mask & (jnp.arange(v.mask.shape[0]) < ctx.ws.n))
+                n2 = int(cnt)
+                return Column(name, v.sqltype, v.data[perm][:max(n2, 1)],
+                              nrows=n2, dictionary=v.dictionary)
+            return Column(name, v.sqltype, v.data, nrows=nrows,
+                          dictionary=v.dictionary)
+
+        # grouped ragged output: one vector per group
+        offsets = ctx.np_offsets()
+        if v.mask is None:
+            total = int(offsets[-1])
+            return VectorColumn(name, T.VectorT(v.sqltype), v.data[:max(total, 1)],
+                                offsets, nrows=ctx.G, dictionary=v.dictionary)
+        mask = v.mask & (jnp.arange(v.mask.shape[0]) < ctx.ws.n)
+        perm, cnt = filter_ops.compact_indices(mask)
+        values = v.data[perm]
+        # per-group selected counts → offsets
+        seg = jnp.minimum(ctx.seg, ctx.gcap).astype(jnp.int32)
+        counts = jax_segment_sum(mask.astype(jnp.int64), seg, ctx.gcap + 1)[: ctx.G]
+        counts = np.asarray(counts)
+        offs = np.zeros(ctx.G + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        total = int(offs[-1])
+        return VectorColumn(name, T.VectorT(v.sqltype), values[:max(total, 1)],
+                            offs, nrows=ctx.G, dictionary=v.dictionary)
+
+    # -- post-processing ---------------------------------------------------
+
+    def _apply_having(self, ctx, sel, table: Table, named, grouping) -> Table:
+        hv = ctx.eval(sel.having)
+        if hv.kind != "group":
+            raise ExecError("HAVING must be a per-group predicate")
+        mask = np.asarray(hv.data[: table.nrows]).astype(bool)
+        keep = np.nonzero(mask)[0]
+        return _take_table(table, keep)
+
+    def _apply_order(self, ctx, sel: A.Select, table: Table) -> Table:
+        keys = []
+        for item in sel.order_by:
+            arr = self._order_key(ctx, sel, table, item.expr)
+            keys.append((arr, item.ascending))
+        n = table.nrows
+        if n == 0:
+            return table
+        perm = np.asarray(sort_perm(
+            [(jnp.asarray(k), asc) for k, asc in keys], n))[:n]
+        return _take_table(table, perm)
+
+    def _order_key(self, ctx, sel, table: Table, expr) -> np.ndarray:
+        # 1. alias / output column
+        if isinstance(expr, A.ColumnRef) and expr.table is None \
+                and expr.name in table.columns:
+            col = table.columns[expr.name]
+            return _sort_key_of(col, table.nrows)
+        # 2. AST equality with a projection
+        for p, out_name in zip(sel.projections, table.column_names()):
+            if not isinstance(p.expr, A.Star) and p.expr == expr:
+                return _sort_key_of(table.columns[out_name], table.nrows)
+        # 3. evaluate in grouped/ungrouped context, reduce to one per row
+        v = ctx.eval(expr)
+        if v.kind == "group":
+            return np.asarray(v.data)[: table.nrows]
+        if v.kind == "scalar":
+            return np.zeros(table.nrows)
+        if ctx.grouping is not None:
+            from aquery2_tpu.engine import grouped_agg
+
+            fv = grouped_agg.compute(ctx, "first", [v])
+            return np.asarray(fv.data)[: table.nrows]
+        return np.asarray(v.data)[: table.nrows]
+
+    def _distinct(self, table: Table) -> Table:
+        """Deduplicate rows (reference `distinct` via record-hash set,
+        table.h:601-614). Deterministic: output in key-sorted order."""
+        n = table.nrows
+        if n == 0:
+            return table
+        cols = list(table.columns.values())
+        if any(isinstance(c, VectorColumn) for c in cols):
+            raise ExecError("DISTINCT over vector columns not supported")
+        keys = [_KeyCol(c.data, n) for c in cols]
+        grouping = gb.group_by(keys, n)
+        out = Table.__new__(Table)
+        out.name = table.name
+        from aquery2_tpu.utils import CaseInsensitiveDict
+
+        out.columns = CaseInsensitiveDict()
+        out.sorted_by = ()
+        G = grouping.num_groups
+        for c, kv in zip(cols, grouping.key_values):
+            out.columns[c.name] = Column(c.name, c.sqltype,
+                                         kv[:max(G, 1)].astype(c.data.dtype),
+                                         nrows=G, dictionary=c.dictionary)
+        return out
+
+
+# --------------------------------------------------------------------- #
+# helpers
+# --------------------------------------------------------------------- #
+
+def jax_segment_sum(x, seg, num_segments):
+    import jax
+
+    return jax.ops.segment_sum(x, seg, num_segments=num_segments)
+
+
+class _KeyCol:
+    """Adapter giving group_by() computed key arrays with lazy stats."""
+
+    def __init__(self, data, n: int):
+        self.data = data
+        self.n = n
+        self._stats = None
+
+    def stats(self):
+        if self._stats is None:
+            idx = jnp.arange(self.data.shape[0], dtype=jnp.int32)
+            d = self.data
+            if d.dtype == jnp.bool_:
+                d = d.astype(jnp.int32)
+                self.data = d
+            if d.dtype.kind in ("i", "u"):
+                big = jnp.iinfo(d.dtype).max
+                small = jnp.iinfo(d.dtype).min
+            else:
+                big, small = jnp.inf, -jnp.inf
+            mn = jnp.min(jnp.where(idx < self.n, d, big))
+            mx = jnp.max(jnp.where(idx < self.n, d, small))
+            self._stats = (int(mn), int(mx)) if d.dtype.kind in ("i", "u", "b") \
+                else (float(mn), float(mx))
+        return self._stats
+
+
+def _empty_ws() -> WorkingSet:
+    t = Table("__dual__", [])
+    ws = WorkingSet([( "__dual__", t)], [None], 1, 1)
+    return ws
+
+
+def _split_conjuncts(e: A.Expr | None) -> list[A.Expr]:
+    if e is None:
+        return []
+    if isinstance(e, A.BinOp) and e.op == "and":
+        return _split_conjuncts(e.left) + _split_conjuncts(e.right)
+    return [e]
+
+
+def _join_conjuncts(cs: list[A.Expr]) -> A.Expr | None:
+    if not cs:
+        return None
+    out = cs[0]
+    for c in cs[1:]:
+        out = A.BinOp("and", out, c)
+    return out
+
+
+def _equi_pair(c: A.Expr, left: WorkingSet, right: WorkingSet):
+    """If c is `lcol = rcol` linking left to right → ((lq,lname),(rq,rname))."""
+    if not (isinstance(c, A.BinOp) and c.op == "="):
+        return None
+    a, b = c.left, c.right
+    if not (isinstance(a, A.ColumnRef) and isinstance(b, A.ColumnRef)):
+        return None
+
+    def side(ref: A.ColumnRef, ws: WorkingSet) -> bool:
+        return ws.has_column(ref.name, ref.table)
+
+    a_l, a_r = side(a, left), side(a, right)
+    b_l, b_r = side(b, left), side(b, right)
+    # qualified names pin the side; unqualified must be unambiguous
+    if a_l and b_r and not (a_r and b_l):
+        return ((a.table, a.name), (b.table, b.name))
+    if b_l and a_r and not (b_r and a_l):
+        return ((b.table, b.name), (a.table, a.name))
+    if a_l and b_r:
+        return ((a.table, a.name), (b.table, b.name))
+    return None
+
+
+def _common_columns(left: WorkingSet, right: WorkingSet) -> list[str]:
+    lnames = {c.lower(): c for _, t in left.sources for c in t.column_names()}
+    out = []
+    for _, t in right.sources:
+        for c in t.column_names():
+            if c.lower() in lnames:
+                out.append(c)
+    return out
+
+
+def _match_group_key(expr: A.Expr, group_by: list[A.Expr]) -> int | None:
+    for i, g in enumerate(group_by):
+        if expr == g:
+            return i
+        # unqualified vs qualified column refs naming the same column
+        if isinstance(expr, A.ColumnRef) and isinstance(g, A.ColumnRef) \
+                and expr.name.lower() == g.name.lower():
+            return i
+    return None
+
+
+def _derive_name(e: A.Expr) -> str:
+    if isinstance(e, A.ColumnRef):
+        return e.name
+    if isinstance(e, A.Call):
+        inner = "_".join(_derive_name(a) for a in e.args if not isinstance(a, A.Star))
+        return legal_name(f"{e.func}_{inner}") if inner else e.func
+    if isinstance(e, A.BinOp):
+        return legal_name(f"{_derive_name(e.left)}_{e.op}_{_derive_name(e.right)}")
+    if isinstance(e, A.Literal):
+        return legal_name(str(e.value))
+    if isinstance(e, A.UnaryOp):
+        return legal_name(f"{e.op}_{_derive_name(e.operand)}")
+    return f"col_{base62uuid(4)}"
+
+
+def _host_item(x):
+    if hasattr(x, "shape"):
+        a = np.asarray(x)
+        return a.item() if a.shape == () else a.reshape(-1)[0].item()
+    return x
+
+
+def _sort_key_of(col, n: int) -> np.ndarray:
+    if isinstance(col, VectorColumn):
+        # order by a vector column: use each vector's first element
+        vals = np.asarray(col.values)
+        offs = np.asarray(col.offsets)
+        first = vals[np.clip(offs[:n], 0, max(len(vals) - 1, 0))]
+        lens = (offs[1: n + 1] - offs[:n])
+        first = np.where(lens > 0, first, np.zeros_like(first))
+        return first
+    if col.sqltype.is_string and col.dictionary is not None:
+        ranks = col.dictionary.ranks
+        codes = np.asarray(col.data[:n])
+        return ranks[np.clip(codes, 0, max(len(ranks) - 1, 0))]
+    return np.asarray(col.data[:n])
+
+
+def _take_table(table: Table, idx: np.ndarray) -> Table:
+    out = Table.__new__(Table)
+    out.name = table.name
+    from aquery2_tpu.utils import CaseInsensitiveDict
+
+    out.columns = CaseInsensitiveDict()
+    out.sorted_by = ()
+    k = len(idx)
+    for c in table.columns.values():
+        if isinstance(c, VectorColumn):
+            vals = np.asarray(c.values)
+            offs = np.asarray(c.offsets)
+            lists = [vals[offs[i]: offs[i + 1]].tolist() for i in idx]
+            out.columns[c.name] = VectorColumn.from_lists(
+                c.name, c.sqltype, lists, dictionary=c.dictionary)
+        else:
+            data = np.asarray(c.data)[idx] if k else np.zeros(0, c.data.dtype)
+            out.columns[c.name] = Column(c.name, c.sqltype, data, nrows=k,
+                                         dictionary=c.dictionary)
+    return out
+
+
+def _limit_table(table: Table, k: int) -> Table:
+    n = min(table.nrows, k)
+    return _take_table(table, np.arange(n))

@@ -1,0 +1,85 @@
+"""Distributed join: radix all_to_all shuffle + shard-local probe.
+
+Design (BASELINE.json north star): rows are re-partitioned so that equal
+keys land on the same chip — destination = hash(key) mod ndev — via one
+`all_to_all` over ICI, then each chip runs the local sort-merge join
+(engine/join.py). Buckets are fixed-capacity (static shapes for XLA):
+each shard packs its rows into [ndev, cap] send buffers by stable sort on
+destination; overflowing a bucket marks rows invalid (callers size cap
+with slack; skew handling: heavy-hitter keys should be broadcast-
+replicated instead — TODO round 2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from aquery2_tpu.ops import hashing
+
+
+def _pack_buckets(key: jax.Array, payload: jax.Array, valid: jax.Array,
+                  ndev: int, cap: int):
+    """Sort rows by destination and scatter into [ndev, cap] buckets.
+    Returns (keys[ndev,cap], payload[ndev,cap], ok[ndev,cap])."""
+    dest = (hashing.hash64(key.astype(jnp.int64)) % jnp.uint64(ndev)).astype(jnp.int32)
+    dest = jnp.where(valid, dest, ndev)  # invalid rows → overflow dest
+    order = jnp.argsort(dest, stable=True)
+    d_sorted = dest[order]
+    k_sorted = key[order]
+    p_sorted = payload[order]
+    # position within destination run
+    idx = jnp.arange(dest.shape[0], dtype=jnp.int32)
+    first_flag = jnp.concatenate([jnp.ones((1,), bool), d_sorted[1:] != d_sorted[:-1]])
+    run_start = jax.lax.cummax(jnp.where(first_flag, idx, 0))
+    within = idx - run_start
+    ok = (d_sorted < ndev) & (within < cap)
+    slot = jnp.clip(d_sorted, 0, ndev - 1) * cap + jnp.clip(within, 0, cap - 1)
+    # rows that miss their bucket go to a dump slot so they can't clobber
+    # valid rows (buffers have one extra trailing slot, sliced off below)
+    slot = jnp.where(ok, slot, ndev * cap)
+    keys_b = jnp.zeros((ndev * cap + 1,), key.dtype).at[slot].set(k_sorted)
+    pay_b = jnp.zeros((ndev * cap + 1,), payload.dtype).at[slot].set(p_sorted)
+    okf = jnp.zeros((ndev * cap + 1,), jnp.bool_).at[slot].set(ok)
+    return (keys_b[:-1].reshape(ndev, cap), pay_b[:-1].reshape(ndev, cap),
+            okf[:-1].reshape(ndev, cap))
+
+
+def dist_join_counts(mesh: Mesh, axis: str,
+                     lkey: jax.Array, lvalid: jax.Array,
+                     rkey: jax.Array, rvalid: jax.Array,
+                     bucket_cap: int):
+    """Radix-shuffle both sides; per shard, count matching pairs of the
+    re-partitioned sides (the probe phase of a distributed hash join).
+    Returns the global pair count (replicated scalar) — the building
+    block the full distributed join materialization reuses."""
+    ndev = mesh.shape[axis]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis), P(axis), P(axis)),
+             out_specs=P())
+    def step(lk, lv, rk, rv):
+        lkb, lpb, lok = _pack_buckets(lk, lk, lv, ndev, bucket_cap)
+        rkb, rpb, rok = _pack_buckets(rk, rk, rv, ndev, bucket_cap)
+        # exchange: bucket i goes to device i
+        lk_recv = jax.lax.all_to_all(lkb, axis, 0, 0, tiled=False)
+        lok_recv = jax.lax.all_to_all(lok, axis, 0, 0, tiled=False)
+        rk_recv = jax.lax.all_to_all(rkb, axis, 0, 0, tiled=False)
+        rok_recv = jax.lax.all_to_all(rok, axis, 0, 0, tiled=False)
+        lkf = lk_recv.reshape(-1)
+        lof = lok_recv.reshape(-1)
+        rkf = rk_recv.reshape(-1)
+        rof = rok_recv.reshape(-1)
+        # local probe: sort right side, binary-search ranges
+        big = jnp.asarray(jnp.iinfo(rkf.dtype).max, rkf.dtype)
+        rk_sorted = jnp.sort(jnp.where(rof, rkf, big))
+        lo = jnp.searchsorted(rk_sorted, lkf, side="left")
+        hi = jnp.searchsorted(rk_sorted, lkf, side="right")
+        cnt = jnp.sum(jnp.where(lof, (hi - lo).astype(jnp.int64), 0))
+        return jax.lax.psum(cnt, axis)
+
+    return step(lkey, lvalid, rkey, rvalid)

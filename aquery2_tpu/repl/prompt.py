@@ -1,0 +1,184 @@
+"""Interactive REPL and script runner.
+
+Counterpart of the reference's `prompt.py` (statement accumulation +
+command dispatch, :424-741). Command surface kept compatible:
+
+    <sql statements>      accumulate into the buffer
+    exec | xexec          run the buffer (one engine here — no hybrid)
+    f <file>              append a script file to the buffer
+    echo <text>           print
+    stats [on|off|reset]  timing statistics (reference :630-645)
+    procedure <p> <op>    record|stop|run|load|save|display (:646-677)
+    save [path]           save buffer to file
+    log <level>           info|error|silent
+    sh [cmd]              shell escape (:694)
+    script <file>         run a #!aquery script
+    exit / q              quit
+
+Scripts: a file starting with `#!aquery` is replayed through the REPL
+line-by-line (reference prompt.py:602-620); otherwise the whole file is
+parsed and executed as SQL directly.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+from aquery2_tpu.session import Session
+
+
+class Repl:
+    def __init__(self, session: Session | None = None, echo_results: bool = True):
+        self.session = session or Session()
+        self.buffer: list[str] = []
+        self.echo_results = echo_results
+        self.done = False
+
+    # -- command processing ------------------------------------------------
+
+    def handle_line(self, line: str) -> None:
+        stripped = line.strip()
+        if not stripped:
+            return
+        if stripped.startswith("#"):
+            return  # comment / shebang
+        first, _, rest = stripped.partition(" ")
+        cmd = first.lower()
+
+        if cmd in ("exec", "xexec"):
+            self.run_buffer()
+        elif cmd == "f":
+            path = self.session.resolve_path(rest.strip())
+            with open(path) as fh:
+                self.buffer.append(fh.read())
+        elif cmd == "echo":
+            print(rest)
+        elif cmd == "stats":
+            self._stats(rest.strip().lower())
+        elif cmd == "procedure":
+            self._procedure(rest.split())
+        elif cmd == "save":
+            path = rest.strip() or "buffer.a"
+            with open(self.session.resolve_path(path), "w") as fh:
+                fh.write("\n".join(self.buffer))
+        elif cmd == "log":
+            self.session.log_level = rest.strip().lower() or "info"
+        elif cmd == "sh":
+            if rest:
+                subprocess.run(rest, shell=True)
+            else:
+                subprocess.run(os.environ.get("SHELL", "/bin/sh"))
+        elif cmd == "script":
+            self.run_script_file(rest.strip())
+        elif cmd in ("exit", "q", "quit"):
+            self.done = True
+        elif cmd == "help":
+            print(__doc__)
+        else:
+            self.buffer.append(line)
+
+    def run_buffer(self) -> None:
+        if not self.buffer:
+            return
+        text = "\n".join(self.buffer)
+        self.buffer.clear()
+        try:
+            r = self.session.execute(text)
+            if r is not None and self.echo_results:
+                print(r.format(limit=100))
+        except Exception as e:
+            self.session.log_error(str(e))
+
+    # -- sub-commands ------------------------------------------------------
+
+    def _stats(self, arg: str) -> None:
+        st = self.session.stats
+        if arg == "on":
+            st.enabled = True
+        elif arg == "off":
+            st.enabled = False
+        elif arg == "reset":
+            st.reset()
+        else:
+            print(st.format())
+
+    def _procedure(self, args: list[str]) -> None:
+        if len(args) != 2:
+            print("usage: procedure <name> <record|stop|run|load|save|display>")
+            return
+        name, op = args[0], args[1].lower()
+        ps = self.session.procedures
+        try:
+            if op == "record":
+                ps.start_recording(name)
+            elif op == "stop":
+                ps.stop_recording()
+            elif op == "run":
+                r = ps.run(name)
+                if r is not None and self.echo_results:
+                    print(r.format(limit=100))
+            elif op == "load":
+                ps.load(name)
+            elif op == "save":
+                ps.save(name)
+            elif op == "display":
+                print(ps.display(name))
+            else:
+                print(f"unknown procedure op {op!r}")
+        except Exception as e:
+            self.session.log_error(str(e))
+
+    # -- scripts -----------------------------------------------------------
+
+    def run_script_file(self, path: str) -> None:
+        path = self.session.resolve_path(path)
+        with open(path) as fh:
+            text = fh.read()
+        if text.lstrip().startswith("#!aquery"):
+            for line in text.splitlines():
+                self.handle_line(line)
+                if self.done:
+                    return
+        else:
+            self.buffer.append(text)
+            self.run_buffer()
+
+    # -- interactive loop --------------------------------------------------
+
+    def loop(self) -> None:
+        print(f"aquery2_tpu {__import__('aquery2_tpu').__version__} — "
+              f"type statements, then `exec`; `help` for commands")
+        while not self.done:
+            try:
+                prompt = ">>> " if not self.buffer else "... "
+                line = input(prompt)
+            except EOFError:
+                break
+            except KeyboardInterrupt:
+                self.buffer.clear()
+                print("^C (buffer cleared)")
+                continue
+            self.handle_line(line)
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    repl = Repl()
+    try:
+        if argv and argv[0] == "-c":
+            r = repl.session.execute(" ".join(argv[1:]))
+            if r is not None:
+                print(r.format(limit=100))
+        elif argv:
+            repl.run_script_file(argv[0])
+        else:
+            repl.loop()
+    finally:
+        repl.session.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,57 @@
+"""Per-query phase timers.
+
+Counterpart of the reference's `QueryStats` (prompt.py:125-161: parse /
+codegen / compile / exec wall-clock) and the C++ `monet_time` /
+`postproc_time` accumulators in the shared Config (server.cpp:290-306).
+Here the phases are parse / plan+trace (XLA compile) / device execute.
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+
+
+@dataclass
+class QueryStats:
+    enabled: bool = True
+    parse_time: float = 0.0
+    exec_time: float = 0.0
+    queries: int = 0
+    history: list = field(default_factory=list)
+
+    @contextmanager
+    def timed(self, phase: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            if self.enabled:
+                if phase == "parse":
+                    self.parse_time += dt
+                else:
+                    self.exec_time += dt
+
+    def record_query(self, text: str, seconds: float) -> None:
+        if self.enabled:
+            self.queries += 1
+            self.history.append((text[:120], seconds))
+
+    def reset(self) -> None:
+        self.parse_time = self.exec_time = 0.0
+        self.queries = 0
+        self.history.clear()
+
+    def format(self) -> str:
+        lines = [
+            f"Queries executed: {self.queries}",
+            f"Parse time:       {self.parse_time * 1000:.3f} ms",
+            f"Execution time:   {self.exec_time * 1000:.3f} ms",
+        ]
+        if self.history:
+            lines.append("Recent:")
+            for text, dt in self.history[-10:]:
+                lines.append(f"  {dt * 1000:9.3f} ms  {text}")
+        return "\n".join(lines)

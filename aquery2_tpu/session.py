@@ -1,0 +1,115 @@
+"""Session: the public entry point.
+
+Counterpart of the reference's `Context` pair — the Python compiler
+context (engine/storage.py Context: queries/procs/udf accumulation) and
+the C++ runtime Context (server/libaquery.h:118-161: tables, stored
+procs, trigger hosts, session memory). One object here: catalog + UDFs +
+modules + procedures + triggers + stats, executing statements directly.
+
+    >>> import aquery2_tpu as aq
+    >>> db = aq.connect()
+    >>> db.execute("CREATE TABLE t(a INT, b INT)")
+    >>> db.execute("INSERT INTO t VALUES (1,2),(1,3),(2,5)")
+    >>> print(db.execute("SELECT a, sum(b) FROM t GROUP BY a").format())
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from aquery2_tpu.engine.executor import ExecError, Executor
+from aquery2_tpu.parser import parse
+from aquery2_tpu.parser import ast_nodes as A
+from aquery2_tpu.runtime.procedures import ProcedureStore
+from aquery2_tpu.runtime.stats import QueryStats
+from aquery2_tpu.runtime.triggers import TriggerHost
+from aquery2_tpu.storage.catalog import Catalog
+from aquery2_tpu.storage.result import Result
+from aquery2_tpu.utils import CaseInsensitiveDict
+
+
+class Session:
+    def __init__(self, base_dir: str | None = None) -> None:
+        self.catalog = Catalog()
+        self.udfs: CaseInsensitiveDict = CaseInsensitiveDict()
+        self.module_functions: CaseInsensitiveDict = CaseInsensitiveDict()
+        self.modules: dict[str, object] = {}
+        self.stats = QueryStats()
+        self.triggers = TriggerHost(self)
+        self.procedures = ProcedureStore(self)
+        self.base_dir = base_dir or os.getcwd()
+        self.executor = Executor(self)
+        self.log_level = "info"
+
+    # -- paths -------------------------------------------------------------
+
+    def resolve_path(self, path: str) -> str:
+        if os.path.isabs(path):
+            return path
+        return os.path.join(self.base_dir, path)
+
+    # -- logging -----------------------------------------------------------
+
+    def log(self, msg: str) -> None:
+        if self.log_level == "info":
+            print(msg)
+
+    def log_error(self, msg: str) -> None:
+        if self.log_level != "silent":
+            print(f"error: {msg}")
+
+    # -- execution ---------------------------------------------------------
+
+    def execute(self, text: str) -> Result | None:
+        """Parse and execute a statement batch; returns the last Result."""
+        with self.stats.timed("parse"):
+            stmts = parse(text)
+        last: Result | None = None
+        t0 = time.perf_counter()
+        if stmts and self.procedures.recording is not None:
+            # record the source batch (reference records the compiled
+            # command stream, server.cpp:252-276; we record source and
+            # re-execute on replay, runtime/procedures.py)
+            self.procedures.record(text.strip())
+        with self.stats.timed("exec"):
+            for stmt in stmts:
+                r = self.executor.execute(stmt)
+                if r is not None:
+                    last = r
+        self.stats.record_query(text.strip(), time.perf_counter() - t0)
+        return last
+
+    # convenience aliases
+    sql = execute
+
+    def run_script(self, stmts: list[A.Statement]) -> Result | None:
+        last = None
+        for stmt in stmts:
+            r = self.executor.execute(stmt)
+            if r is not None:
+                last = r
+        return last
+
+    # -- stored procedures (REPL `procedure p record/stop/run/...`) --------
+
+    def run_procedure(self, name: str) -> Result | None:
+        return self.procedures.run(name)
+
+    def notify_insert(self, table_name: str) -> None:
+        self.triggers.notify_insert(table_name)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def close(self) -> None:
+        self.triggers.shutdown()
+
+    def __enter__(self) -> "Session":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def connect(base_dir: str | None = None) -> Session:
+    return Session(base_dir=base_dir)

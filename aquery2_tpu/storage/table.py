@@ -150,7 +150,7 @@ class Column:
         dictionary: StringDict | None = None,
     ) -> "Column":
         if sqltype.is_string:
-            d = dictionary or StringDict()
+            d = dictionary if dictionary is not None else StringDict()
             codes = d.encode(list(values))
             return cls(name, sqltype, codes, dictionary=d)
         if sqltype.is_temporal:
@@ -409,7 +409,7 @@ def _append_host_values(col: Column | VectorColumn, vals: Sequence[Any]) -> Colu
         newpart = VectorColumn.from_lists(col.name, t, lists, dictionary=col.dictionary)
         return _append_column(col, newpart)
     if t.is_string:
-        d = col.dictionary or StringDict()
+        d = col.dictionary if col.dictionary is not None else StringDict()
         arr = d.encode([v if isinstance(v, str) else str(v) for v in vals])
         add = Column(col.name, t, arr, dictionary=d)
     else:

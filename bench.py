@@ -1,0 +1,144 @@
+"""h2o db-benchmark group-by + join bench (BASELINE.md metric).
+
+Runs the reference's h2o groupby suite (benchmark/h2o/groupby.sql q1-q10,
+reference-timed subset) plus one hash-join query end-to-end through the
+engine on synthetic G1-style data, and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "rows/s", "vs_baseline": N}
+
+Baseline: the reference's own annotated timings (first column of
+benchmark/h2o/groupby.sql, recorded in BASELINE.md) at 1e7 rows:
+q1 .036 q2 .063 q3 2.322 q4 .159 q5 1.778 q7 .857 q10 2.669 s
+→ 7e7 rows scanned / 7.884 s = 8.879e6 rows/s (hardware unspecified —
+treated as the sanity-scale baseline, see BASELINE.md).
+
+Usage: python bench.py [--rows 10000000] [--iters 3] [--queries q1,q3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+REF_TIMES = {  # reference column-1 seconds at 1e7 rows (groupby.sql comments)
+    "q1": 0.036, "q2": 0.063, "q3": 2.322, "q4": 0.159, "q5": 1.778,
+    "q7": 0.857, "q10": 2.669,
+}
+
+QUERIES = {
+    "q1": "SELECT id1, sum(v1) AS v1 FROM source GROUP BY id1",
+    "q2": "SELECT id1, id2, sum(v1) AS v1 FROM source GROUP BY id1, id2",
+    "q3": "SELECT id3, sum(v1) AS v1, avg(v3) AS v3 FROM source GROUP BY id3",
+    "q4": "SELECT id4, avg(v1) AS v1, avg(v2) AS v2, avg(v3) AS v3 FROM source GROUP BY id4",
+    "q5": "SELECT id6, sum(v1) AS v1, sum(v2) AS v2, sum(v3) AS v3 FROM source GROUP BY id6",
+    "q7": "SELECT id3, max(v1) - min(v2) AS range_v1_v2 FROM source GROUP BY id3",
+    "q9": "SELECT id2, id4, pow(corr(v1, v2), 2) AS r2 FROM source GROUP BY id2, id4",
+    "q10": ("SELECT id1, id2, id3, id4, id5, id6, sum(v3) AS v3, count(*) AS cnt "
+            "FROM source GROUP BY id1, id2, id3, id4, id5, id6"),
+    "qj": "SELECT count(*) FROM source s, dim d WHERE s.id3 = d.id3",
+}
+
+DEFAULT_QUERIES = ["q1", "q2", "q3", "q4", "q5", "q7", "q10", "qj"]
+
+
+def make_data(session, n: int, seed: int = 42) -> None:
+    """G1-style synthetic data (h2o db-benchmark shape; _n numeric ids,
+    reference benchmark/h2o/groupby_prep.sql declares all-int ids)."""
+    import aquery2_tpu as aq
+    from aquery2_tpu import types as T
+    from aquery2_tpu.storage.table import Column, Table
+
+    rng = np.random.default_rng(seed)
+    k = 10
+    nk = max(n // k, 1)
+    cols = {
+        "id1": rng.integers(1, k + 1, n).astype(np.int32),
+        "id2": rng.integers(1, k + 1, n).astype(np.int32),
+        "id3": rng.integers(1, nk + 1, n).astype(np.int32),
+        "id4": rng.integers(1, k + 1, n).astype(np.int32),
+        "id5": rng.integers(1, k + 1, n).astype(np.int32),
+        "id6": rng.integers(1, nk + 1, n).astype(np.int32),
+        "v1": rng.integers(1, 6, n).astype(np.int32),
+        "v2": rng.integers(1, 16, n).astype(np.int32),
+        "v3": np.round(rng.random(n) * 100, 6).astype(np.float32),
+    }
+    t = Table("source", [
+        Column(name, T.FloatT if name == "v3" else T.IntT, arr)
+        for name, arr in cols.items()
+    ])
+    session.catalog.create(t, replace=True)
+    # join dim: 10% sample of id3 domain with weights
+    dsize = max(nk // 10, 1)
+    dim = Table("dim", [
+        Column("id3", T.IntT, rng.choice(nk, dsize, replace=False).astype(np.int32) + 1),
+        Column("w", T.IntT, rng.integers(1, 100, dsize).astype(np.int32)),
+    ])
+    session.catalog.create(dim, replace=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=10_000_000)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--queries", type=str, default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import aquery2_tpu as aq
+
+    session = aq.connect()
+    t0 = time.perf_counter()
+    make_data(session, args.rows)
+    if args.verbose:
+        print(f"# datagen: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+
+    names = [q.strip() for q in args.queries.split(",") if q.strip()]
+    times: dict[str, float] = {}
+    for name in names:
+        sql = QUERIES[name]
+        # warmup (compile)
+        session.execute(sql)
+        best = float("inf")
+        for _ in range(args.iters):
+            t1 = time.perf_counter()
+            r = session.execute(sql)
+            dt = time.perf_counter() - t1
+            best = min(best, dt)
+        times[name] = best
+        if args.verbose:
+            print(f"# {name}: {best * 1000:.1f} ms ({r.nrows} rows out)",
+                  file=sys.stderr)
+
+    total_time = sum(times.values())
+    total_rows = args.rows * len(names)
+    rows_per_s = total_rows / total_time
+
+    # baseline at the same per-query row count, for the reference-timed set
+    ref_names = [n for n in names if n in REF_TIMES]
+    if ref_names:
+        ref_total = sum(REF_TIMES[n] * (args.rows / 1e7) for n in ref_names)
+        ours_total = sum(times[n] for n in ref_names)
+        ref_rows_per_s = args.rows * len(ref_names) / ref_total
+        our_rows_per_s = args.rows * len(ref_names) / ours_total
+        vs_baseline = our_rows_per_s / ref_rows_per_s
+    else:
+        vs_baseline = 0.0
+
+    print(json.dumps({
+        "metric": "h2o_groupby_join_rows_per_s_per_chip",
+        "value": round(rows_per_s, 1),
+        "unit": "rows/s",
+        "vs_baseline": round(vs_baseline, 3),
+        "detail": {k: round(v, 4) for k, v in times.items()},
+        "rows": args.rows,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

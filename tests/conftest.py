@@ -8,13 +8,17 @@ __graft_entry__.dryrun_multichip.
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# NOTE: the environment presets JAX_PLATFORMS=axon (the TPU tunnel) AND
+# /root/.axon_site/sitecustomize.py imports jax at interpreter startup,
+# freezing that env into jax's config before conftest runs. Overriding
+# the env var is therefore NOT enough — update the config directly
+# (backends are not initialized yet at collection time).
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

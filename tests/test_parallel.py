@@ -1,0 +1,65 @@
+"""Distribution-layer tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aquery2_tpu.parallel import make_mesh, shard_1d
+from aquery2_tpu.parallel import dist_groupby, dist_join, dist_scan
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must force 8 host devices"
+    return make_mesh(8)
+
+
+def test_dist_grouped_sums(mesh, rng):
+    n = 8 * 512
+    domain = 16
+    codes_h = rng.integers(0, domain, n).astype(np.int32)
+    vals_h = rng.integers(0, 100, n).astype(np.int64)
+    # mark last 100 rows padding
+    codes_h[-100:] = domain
+    vals_h[-100:] = 999
+    codes = shard_1d(mesh, jnp.asarray(codes_h))
+    vals = shard_1d(mesh, jnp.asarray(vals_h))
+    counts, sums = dist_groupby.dist_grouped_sums(
+        mesh, "shards", codes, [vals], jnp.zeros(8, jnp.int32), domain)
+    want = np.zeros(domain, np.int64)
+    np.add.at(want, codes_h[:-100], vals_h[:-100])
+    np.testing.assert_array_equal(np.asarray(sums), want)
+    wc = np.bincount(codes_h[:-100], minlength=domain)
+    np.testing.assert_array_equal(np.asarray(counts), wc)
+
+
+def test_dist_scan_matches_local(mesh, rng):
+    n = 8 * 256
+    x = rng.integers(-5, 50, n).astype(np.int64)
+    xs = shard_1d(mesh, jnp.asarray(x))
+    got = np.asarray(dist_scan.dist_sums(mesh, "shards", xs))
+    np.testing.assert_array_equal(got, np.cumsum(x))
+    gmin = np.asarray(dist_scan.dist_mins(mesh, "shards", xs))
+    np.testing.assert_array_equal(gmin, np.minimum.accumulate(x))
+    gmax = np.asarray(dist_scan.dist_maxs(mesh, "shards", xs))
+    np.testing.assert_array_equal(gmax, np.maximum.accumulate(x))
+
+
+def test_dist_join_counts(mesh, rng):
+    n = 8 * 256
+    lk = rng.integers(0, 500, n).astype(np.int64)
+    rk = rng.integers(0, 500, n).astype(np.int64)
+    lvalid = np.ones(n, bool)
+    rvalid = np.ones(n, bool)
+    lvalid[-50:] = False
+    rvalid[-70:] = False
+    got = int(dist_join.dist_join_counts(
+        mesh, "shards",
+        shard_1d(mesh, jnp.asarray(lk)), shard_1d(mesh, jnp.asarray(lvalid)),
+        shard_1d(mesh, jnp.asarray(rk)), shard_1d(mesh, jnp.asarray(rvalid)),
+        bucket_cap=1024))
+    lc = np.bincount(lk[lvalid], minlength=500)
+    rc = np.bincount(rk[rvalid], minlength=500)
+    want = int((lc.astype(np.int64) * rc.astype(np.int64)).sum())
+    assert got == want
