@@ -183,6 +183,25 @@ class Executor:
     # ------------------------------------------------------------------ #
 
     def run_select(self, sel: A.Select) -> Table:
+        # fused fast path: grouped aggregation over a single table traces
+        # into one XLA program (engine/fused_groupby.py)
+        if (sel.group_by and len(sel.sources) == 1
+                and isinstance(sel.sources[0], A.TableSource)
+                and sel.sources[0].name in self.session.catalog):
+            from aquery2_tpu.engine import fused_groupby
+
+            t = fused_groupby.run(self.session,
+                                  sel, self.session.catalog.get(sel.sources[0].name))
+            if t is not None:
+                return t
+
+        if len(sel.sources) == 2 and not sel.group_by:
+            from aquery2_tpu.engine import fused_join
+
+            t = fused_join.try_run(self.session, sel)
+            if t is not None:
+                return t
+
         ws, residual_where = self._build_sources(sel)
 
         if sel.assumptions:

@@ -1,0 +1,101 @@
+"""Fused join aggregates: count over an equi-join without materialization.
+
+`SELECT count(*) FROM a, b WHERE a.k = b.k` needs no pair expansion: the
+answer is Σ_i |matches(i)|. One jitted program — sort the build side,
+searchsorted the probe side, sum the range widths — one scalar pull.
+(The reference materializes the full hash join for this, engine/ast.py
+:874-1090.) The general pair-materializing join stays in engine/join.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aquery2_tpu import types as T
+from aquery2_tpu.parser import ast_nodes as A
+from aquery2_tpu.storage.table import Column, Table
+from aquery2_tpu.utils import CaseInsensitiveDict, base62uuid
+
+_cache: dict[tuple, Any] = {}
+
+
+def try_run(session, sel: A.Select) -> Table | None:
+    """Pattern: two comma/cross sources, WHERE is exactly one equality
+    linking them, projections all count(*). Returns result or None."""
+    if (sel.group_by or sel.assumptions or sel.order_by or sel.having
+            or sel.distinct or sel.unions or sel.limit is not None):
+        return None
+    if len(sel.sources) != 2:
+        return None
+    if not all(isinstance(s, A.TableSource) for s in sel.sources):
+        return None
+    for p in sel.projections:
+        if not (isinstance(p.expr, A.Call) and p.expr.func == "count"
+                and (not p.expr.args or isinstance(p.expr.args[0], A.Star))):
+            return None
+    w = sel.where
+    if not (isinstance(w, A.BinOp) and w.op == "="
+            and isinstance(w.left, A.ColumnRef)
+            and isinstance(w.right, A.ColumnRef)):
+        return None
+    try:
+        lt = session.catalog.get(sel.sources[0].name)
+        rt = session.catalog.get(sel.sources[1].name)
+    except KeyError:
+        return None
+
+    def resolve(ref: A.ColumnRef):
+        for src, tbl in ((sel.sources[0], lt), (sel.sources[1], rt)):
+            alias = (src.alias or src.name).lower()
+            if ref.table and ref.table.lower() != alias \
+                    and ref.table.lower() != src.name.lower():
+                continue
+            if ref.name in tbl.columns:
+                return tbl, tbl.columns[ref.name]
+        return None, None
+
+    lt_hit, lcol = resolve(w.left)
+    rt_hit, rcol = resolve(w.right)
+    if lcol is None or rcol is None or lt_hit is rt_hit:
+        return None
+    if getattr(lcol, "is_vector", False) or getattr(rcol, "is_vector", False):
+        return None
+    # string keys must share or translate dictionaries — leave to general path
+    if lcol.sqltype.is_string or rcol.sqltype.is_string:
+        return None
+
+    ln = lt_hit.nrows
+    rn = rt_hit.nrows
+    key = (lcol.data.shape[0], rcol.data.shape[0],
+           str(lcol.data.dtype), str(rcol.data.dtype))
+    fn = _cache.get(key)
+    if fn is None:
+        @jax.jit
+        def count_join(lk, rk, nl, nr):
+            li = jnp.arange(lk.shape[0], dtype=jnp.int32)
+            ri = jnp.arange(rk.shape[0], dtype=jnp.int32)
+            big = jnp.asarray(jnp.iinfo(rk.dtype).max, rk.dtype)
+            rk_s = jnp.sort(jnp.where(ri < nr, rk, big))
+            lo = jnp.searchsorted(rk_s, lk.astype(rk.dtype), side="left")
+            hi = jnp.searchsorted(rk_s, lk.astype(rk.dtype), side="right")
+            cnt = jnp.where(li < nl, (hi - lo).astype(jnp.int64), 0)
+            return jnp.sum(cnt, dtype=jnp.int64)
+
+        fn = count_join
+        _cache[key] = fn
+
+    total = int(fn(lcol.data, rcol.data, ln, rn))
+
+    out = Table.__new__(Table)
+    out.name = f"result_{base62uuid(4)}"
+    out.columns = CaseInsensitiveDict()
+    out.sorted_by = ()
+    for p in sel.projections:
+        name = p.alias or "count"
+        out.columns[name] = Column(name, T.LongT,
+                                   np.asarray([total], dtype=np.int64))
+    return out
