@@ -31,6 +31,19 @@ import jax
 # opt back into 32-bit explicitly where safe.
 jax.config.update("jax_enable_x64", True)
 
+# Honor JAX_PLATFORMS / AQ_TPU_PLATFORM even when a site hook imported jax
+# before us (an env sitecustomize can freeze the platform config; see
+# tests/conftest.py). Without this, `JAX_PLATFORMS=cpu python -m
+# aquery2_tpu` would silently run on the default device.
+import os as _os0  # noqa: E402
+
+_plat = _os0.environ.get("AQ_TPU_PLATFORM") or _os0.environ.get("JAX_PLATFORMS")
+if _plat and jax.config.jax_platforms != _plat:
+    try:
+        jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
+
 # Persistent XLA compilation cache — the TPU-native equivalent of the
 # reference's md5-checksummed build cache (build.py:205-247 pickles source
 # checksums to `.cached` to skip clang recompiles; we skip XLA recompiles).

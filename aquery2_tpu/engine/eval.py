@@ -279,8 +279,21 @@ class EvalContext:
             if other.sqltype.is_string and other.dictionary is not None:
                 if op in ("=", "<>"):
                     return Value("scalar", other.dictionary.lookup(lit.data), T.StrT)
-                # range comparison on strings: compare ranks
-                raise EvalError("string range comparison: use = / <> (TODO ranks)")
+                if op not in ("<", ">", "<=", ">="):
+                    return lit  # e.g. LIKE patterns stay raw strings
+                # range comparison: both sides become lexicographic ranks
+                # (dictionary.ranks maps code → sorted position)
+                import bisect
+
+                strs = sorted(other.dictionary.strings())
+                pos = bisect.bisect_left(strs, lit.data)
+                # exact match → its rank; otherwise a half-rank between
+                # neighbours keeps strict/non-strict comparisons correct
+                if pos < len(strs) and strs[pos] == lit.data:
+                    rank: float = float(pos)
+                else:
+                    rank = pos - 0.5
+                return Value("scalar", rank, T.DoubleT)
         return lit
 
     def _binop(self, e: A.BinOp) -> Value:
@@ -301,6 +314,11 @@ class EvalContext:
                 and lv.dictionary is not rv.dictionary):
             rv = _translate_codes(rv, lv.dictionary)
 
+        # range comparisons on strings compare lexicographic ranks
+        if op in ("<", ">", "<=", ">="):
+            lv = _to_ranks(lv)
+            rv = _to_ranks(rv)
+
         kind = _result_kind(lv.kind, rv.kind)
         a = self.to_row(lv).data if kind == "row" else lv.data
         b = self.to_row(rv).data if kind == "row" else rv.data
@@ -314,7 +332,7 @@ class EvalContext:
                   ">": jnp.greater, "<=": jnp.less_equal, ">=": jnp.greater_equal}[op]
             return Value(kind, fn(a, b), T.BoolT)
         if op == "like":
-            raise EvalError("LIKE requires host evaluation (TODO)")
+            return self._like(lv, rv, kind)
         lt, rt = lv.sqltype, rv.sqltype
         if op == "+":
             return Value(kind, jnp.add(a, b), T.promote(lt, rt))
@@ -329,6 +347,26 @@ class EvalContext:
         if op == "%":
             return Value(kind, jnp.mod(a, b), T.promote(lt, rt))
         raise EvalError(f"unknown operator {op}")
+
+    def _like(self, lv: Value, rv: Value, kind: str) -> Value:
+        """LIKE: SQL wildcard match. The pattern is matched against the
+        dictionary on host (tiny), producing a per-code boolean lookup
+        gathered on device — zero per-row string work."""
+        import re
+
+        if not (isinstance(rv.data, str)):
+            raise EvalError("LIKE pattern must be a string literal")
+        if lv.kind == "scalar" and isinstance(lv.data, str):
+            return Value("scalar", _like_match(lv.data, rv.data), T.BoolT)
+        if not (lv.sqltype.is_string and lv.dictionary is not None):
+            raise EvalError("LIKE requires a string column")
+        pat = re.compile(_like_regex(rv.data))
+        lut = np.asarray([bool(pat.fullmatch(s))
+                          for s in lv.dictionary.strings()], dtype=bool)
+        if len(lut) == 0:
+            return Value(lv.kind, jnp.zeros(lv.data.shape, jnp.bool_), T.BoolT)
+        codes = jnp.clip(lv.data, 0, len(lut) - 1)
+        return Value(lv.kind, jnp.asarray(lut)[codes], T.BoolT)
 
     def _unary(self, e: A.UnaryOp) -> Value:
         v = self.eval(e.operand)
@@ -517,6 +555,39 @@ def _host_scalar(x) -> Any:
 def _str_compare(op: str, a: str, b: str):
     return {"=": a == b, "<>": a != b, "<": a < b, ">": a > b,
             "<=": a <= b, ">=": a >= b}[op]
+
+
+def _like_regex(pattern: str) -> str:
+    import re
+
+    out = []
+    for ch in pattern:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
+
+
+def _like_match(s: str, pattern: str) -> bool:
+    import re
+
+    return bool(re.fullmatch(_like_regex(pattern), s))
+
+
+def _to_ranks(v: Value) -> Value:
+    """String codes → lexicographic ranks for ordering comparisons."""
+    if not v.sqltype.is_string or v.dictionary is None:
+        return v
+    if v.kind == "scalar":
+        return v  # literals were already rank-coerced
+    ranks = np.asarray(v.dictionary.ranks)
+    if len(ranks) == 0:
+        return Value(v.kind, v.data, T.IntT, mask=v.mask)
+    arr = jnp.asarray(ranks)[jnp.clip(v.data, 0, len(ranks) - 1)]
+    return Value(v.kind, arr, T.IntT, mask=v.mask)
 
 
 def _translate_codes(v: Value, target: StringDict) -> Value:

@@ -94,6 +94,7 @@ def _bind_c_signature(cfn, params, ret: T.SQLType):
 
     def wrapper(*args):
         cargs: list[Any] = []
+        keepalive: list[np.ndarray] = []   # pin buffers for the call
         n_rows = 0
         for (pname, pt), a in zip(params, args):
             if pt.is_vector and pt.elem is not None and pt.elem.is_vector:
@@ -103,13 +104,13 @@ def _bind_c_signature(cfn, params, ret: T.SQLType):
                 cargs += [arr.ctypes.data_as(ctypes.c_void_p),
                           ctypes.c_int64(arr.shape[0]),
                           ctypes.c_int64(arr.shape[1])]
-                wrapper_refs.append(arr)
+                keepalive.append(arr)
             elif pt.is_vector:
                 arr = np.ascontiguousarray(a, dtype=pt.elem.np_dtype)
                 n_rows = max(n_rows, arr.shape[0])
                 cargs += [arr.ctypes.data_as(ctypes.c_void_p),
                           ctypes.c_int64(arr.shape[0])]
-                wrapper_refs.append(arr)
+                keepalive.append(arr)
             else:
                 ct = _C_SCALAR.get(pt.name, ctypes.c_double)
                 cargs.append(ct(a if not hasattr(a, "item") else a.item()))
@@ -118,11 +119,13 @@ def _bind_c_signature(cfn, params, ret: T.SQLType):
             cfn.restype = ctypes.c_int64
             m = cfn(*cargs, out.ctypes.data_as(ctypes.c_void_p),
                     ctypes.c_int64(out.shape[0]))
+            del keepalive
             return out[:m]
         cfn.restype = _C_SCALAR.get(ret.name, ctypes.c_double)
-        return cfn(*cargs)
+        res = cfn(*cargs)
+        del keepalive
+        return res
 
-    wrapper_refs: list = []
     return wrapper
 
 

@@ -356,3 +356,16 @@ def test_limit_and_orderby_string(db):
     db.execute("INSERT INTO t VALUES('b', 1), ('a', 2), ('c', 3)")
     r = db.execute("SELECT s, v FROM t ORDER BY s LIMIT 2")
     assert r.rows() == [("a", 2), ("b", 1)]
+
+
+def test_like_and_string_ranges(db):
+    db.execute("CREATE TABLE n(name varchar(20), v INT)")
+    db.execute("INSERT INTO n VALUES('alpha', 1), ('beta', 2), ('alphabet', 3), ('gamma', 4)")
+    r = db.execute("SELECT name FROM n WHERE name LIKE 'alpha%'")
+    assert sorted(v[0] for v in r.rows()) == ["alpha", "alphabet"]
+    r2 = db.execute("SELECT name FROM n WHERE name LIKE '_eta'")
+    assert [v[0] for v in r2.rows()] == ["beta"]
+    r3 = db.execute("SELECT name, v FROM n WHERE name > 'b'")
+    assert sorted(v[0] for v in r3.rows()) == ["beta", "gamma"]
+    r4 = db.execute("SELECT name FROM n WHERE name <= 'beta'")
+    assert sorted(v[0] for v in r4.rows()) == ["alpha", "alphabet", "beta"]

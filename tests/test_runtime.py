@@ -1,0 +1,102 @@
+"""Runtime services: stored procedures (record/replay/persist), interval
+and conditional triggers (reference server.cpp:368-502, threading.cpp:
+158-270, tests/triggers.aquery, demo/)."""
+
+import time
+
+import pytest
+
+import aquery2_tpu as aq
+from aquery2_tpu.repl.prompt import Repl
+
+
+@pytest.fixture
+def db(tmp_path):
+    s = aq.connect(base_dir=str(tmp_path))
+    yield s
+    s.close()
+
+
+def test_procedure_record_replay(db):
+    ps = db.procedures
+    db.execute("CREATE TABLE t(a INT)")
+    ps.start_recording("addrow")
+    db.execute("INSERT INTO t VALUES (1)")
+    ps.stop_recording()
+    assert db.execute("SELECT count(*) FROM t").scalar() == 1
+    db.run_procedure("addrow")
+    db.run_procedure("addrow")
+    assert db.execute("SELECT count(*) FROM t").scalar() == 3
+
+
+def test_procedure_persistence(db, tmp_path):
+    ps = db.procedures
+    db.execute("CREATE TABLE p(a INT)")
+    ps.start_recording("fill")
+    db.execute("INSERT INTO p VALUES (7)")
+    ps.stop_recording()
+    # fresh session, same base dir → loads .aqp from disk
+    s2 = aq.connect(base_dir=str(tmp_path))
+    s2.execute("CREATE TABLE p(a INT)")
+    s2.run_procedure("fill")
+    assert s2.execute("SELECT count(*) FROM p").scalar() == 1
+    assert "INSERT" in s2.procedures.display("fill")
+    s2.close()
+
+
+def test_conditional_trigger(db):
+    """reference: create trigger c on t action act when cond — fires the
+    action after inserts into t when cond's result is truthy."""
+    db.execute("CREATE TABLE t(a INT)")
+    db.execute("CREATE TABLE audit(cnt INT)")
+    ps = db.procedures
+    ps.start_recording("cond")
+    db.execute("SELECT count(*) > 1 FROM t")
+    ps.stop_recording()
+    ps.start_recording("act")
+    db.execute("INSERT INTO audit VALUES (1)")
+    ps.stop_recording()
+    # audit gained a row during recording; clear it
+    db.execute("DELETE FROM audit")
+    db.execute("create trigger c on t action act when cond")
+    db.execute("INSERT INTO t VALUES (1)")       # cond false (count=1)
+    assert db.execute("SELECT count(*) FROM audit").scalar() == 0
+    db.execute("INSERT INTO t VALUES (2)")       # cond true (count=2)
+    assert db.execute("SELECT count(*) FROM audit").scalar() == 1
+    db.execute("drop trigger c")
+    db.execute("INSERT INTO t VALUES (3)")
+    assert db.execute("SELECT count(*) FROM audit").scalar() == 1
+
+
+def test_interval_trigger(db):
+    db.execute("CREATE TABLE tick(a INT)")
+    ps = db.procedures
+    ps.start_recording("pulse")
+    db.execute("INSERT INTO tick VALUES (1)")
+    ps.stop_recording()
+    db.execute("DELETE FROM tick")
+    db.execute("create trigger heartbeat action pulse interval 100")
+    time.sleep(0.6)
+    db.execute("drop trigger heartbeat")
+    n = db.execute("SELECT count(*) FROM tick").scalar()
+    assert n >= 2  # ~5 expected in 600ms at 100ms interval
+
+
+def test_repl_commands(db, tmp_path, capsys):
+    r = Repl(db)
+    r.handle_line("CREATE TABLE x(a INT)")
+    r.handle_line("INSERT INTO x VALUES (5), (6)")
+    r.handle_line("exec")
+    r.handle_line("SELECT sum(a) FROM x")
+    r.handle_line("xexec")
+    out = capsys.readouterr().out
+    assert "11" in out
+    r.handle_line("echo hello-from-repl")
+    assert "hello-from-repl" in capsys.readouterr().out
+    r.handle_line("stats")
+    assert "Queries executed" in capsys.readouterr().out
+    # script file
+    script = tmp_path / "s.a"
+    script.write_text("#!aquery\nSELECT count(*) FROM x\nexec\n")
+    r.handle_line(f"script {script}")
+    assert "2" in capsys.readouterr().out
