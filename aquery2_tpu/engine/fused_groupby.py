@@ -7,11 +7,11 @@ groupby_c :620-794), we trace the whole grouped-aggregation pipeline —
 row-expression evaluation, WHERE masking, dense perfect-hash coding,
 scatter-reductions, group compaction — into TWO jitted programs:
 
-  stage 1 (per query × shape bucket): rows → dense accumulators
-          [domain+1] per aggregate + presence counts; ONE device
-          dispatch, no host syncs except the num_groups pull.
-  stage 2 (per query × group bucket): dense slots → compacted output
-          columns (unique codes via static-size nonzero + gathers).
+  ONE jitted program per query × shape bucket: rows → a single wide
+  [n, K] int64 scatter-add into dense accumulators (all additive
+  aggregates share one scatter) + scatter-min/max → static-size
+  compaction (nonzero + gathers) → output columns. One device dispatch,
+  one host sync per query (the group-count pull at the end).
 
 WHERE clauses fold into the coding step as masks (filtered rows scatter
 into the overflow slot) — filters never materialize compacted rows on
@@ -229,48 +229,9 @@ def _needed_scatters(aggs: list[A.Call]) -> dict[str, tuple]:
     return out
 
 
-def _split_scatter_sum(v: jax.Array, code: jax.Array, domain: int,
-                       n_cap: int):
-    """Exact float32 sums without float64 scatters.
-
-    TPU f64 scatter-add is ~1000× slower than integer scatter (it lowers
-    through f64 emulation); instead split each f32 value into two integer
-    limbs and scatter-add those:
-
-        a = round(v * 2^P1)                  (|a| < 2^23 → f32-exact)
-        r = v - a * 2^-P1                    (exact: nearby subtraction)
-        b = round(r * 2^(P1+24))             (integral for ulp(v) ≥ 2^-(P1+24))
-
-    sum(v) = (Σa) * 2^-P1 + (Σb) * 2^-(P1+24) reconstructed in f64 over
-    the D-sized accumulators. Exact for |v| < 2^(23-P1) with ulp ≥
-    2^-(P1+24); tinier values contribute < 2^-(P1+25) absolute error per
-    row — far below f64 accumulation noise. Overflow-safe while
-    n * vmax * 2^P1 < 2^62 (P1 chosen by the caller from stats)."""
-    P1 = 14
-    s1 = jnp.float32(2.0 ** P1)
-    a = jnp.round(v * s1)
-    r = v - a * jnp.float32(2.0 ** -P1)
-    b = jnp.round(r * jnp.float32(2.0 ** (P1 + 24)))
-    A = jnp.zeros((domain + 1,), jnp.int64).at[code].add(a.astype(jnp.int64))
-    B = jnp.zeros((domain + 1,), jnp.int64).at[code].add(b.astype(jnp.int64))
-    return A, B, P1
-
-
 def _reconstruct_split(A, B, P1):
     return (A.astype(jnp.float64) * (2.0 ** -P1)
             + B.astype(jnp.float64) * (2.0 ** -(P1 + 24)))
-
-
-def _float_sum_scatter(vv, code, domain, outs, tag):
-    """Route a float sum through the split-integer trick (f32) or the
-    slow f64 scatter (f64 inputs — rare)."""
-    if vv.dtype == jnp.float32:
-        A, B, P1 = _split_scatter_sum(vv, code, domain, vv.shape[0])
-        outs[tag + "#A"] = A
-        outs[tag + "#B"] = B
-    else:
-        outs[tag] = jnp.zeros((domain + 1,), jnp.float64).at[code].add(
-            vv.astype(jnp.float64))
 
 
 def _gathered_sum(gathered, tag):
@@ -321,6 +282,12 @@ def _make_stage1(key_names, key_mins, key_ranges, scatters, where,
 def _scatter_aggs(env, valid, code, domain, scatters,
                   row_gather=None) -> dict[str, jax.Array]:
     """Scatter-reduce every needed aggregate into (domain+1,) accumulators.
+
+    All additive contributions (counts, integer sums, float-sum limbs,
+    corr moments) are packed into ONE wide [n, K] int64 scatter-add —
+    K lanes amortize the scatter's index-handling cost across every
+    aggregate (a k-column query costs one scatter, not k).
+
     code: per-row slot (invalid rows must carry `domain`). row_gather: an
     optional permutation applied to row expressions before scattering
     (used by the sort strategy, where `code` indexes the sorted layout)."""
@@ -329,10 +296,31 @@ def _scatter_aggs(env, valid, code, domain, scatters,
         v = _row_eval(e, env)
         return v if row_gather is None else v[row_gather]
 
-    outs: dict[str, jax.Array] = {}
     vmask = valid if row_gather is None else valid[row_gather]
-    counts = jnp.zeros((domain + 1,), jnp.int32).at[code].add(1)
-    outs["__counts__"] = counts
+    n = code.shape[0]
+
+    add_tags: list[str] = ["__counts__"]
+    add_cols: list[jax.Array] = [vmask.astype(jnp.int64)]
+    outs: dict[str, jax.Array] = {}
+
+    def add_int(tag: str, col: jax.Array) -> None:
+        add_tags.append(tag)
+        add_cols.append(col)
+
+    def add_float(tag: str, vv: jax.Array) -> None:
+        """Exact f32 sums as two int64 limbs (see _split_scatter_sum)."""
+        if vv.dtype == jnp.float32:
+            P1 = 14
+            a = jnp.round(vv * jnp.float32(2.0 ** P1))
+            r = vv - a * jnp.float32(2.0 ** -P1)
+            b = jnp.round(r * jnp.float32(2.0 ** (P1 + 24)))
+            add_int(tag + "#A", a.astype(jnp.int64))
+            add_int(tag + "#B", b.astype(jnp.int64))
+        else:
+            # f64 columns: slow f64 scatter (rare; exactness over speed)
+            outs[tag] = jnp.zeros((domain + 1,), jnp.float64).at[code].add(
+                vv.astype(jnp.float64))
+
     for fp, (kind, args) in scatters.items():
         if kind == "count":
             continue
@@ -340,40 +328,36 @@ def _scatter_aggs(env, valid, code, domain, scatters,
             x = rows(args[0])
             y = rows(args[1])
             if x.dtype.kind in "ib" and y.dtype.kind in "ib":
-                # integer inputs: exact int64 moment scatters (fast)
                 xi = jnp.where(vmask, x, 0).astype(jnp.int64)
                 yi = jnp.where(vmask, y, 0).astype(jnp.int64)
                 for tag, arr in (("sx", xi), ("sy", yi), ("sxy", xi * yi),
                                  ("sx2", xi * xi), ("sy2", yi * yi)):
-                    outs[fp + ":" + tag] = (
-                        jnp.zeros((domain + 1,), jnp.int64).at[code].add(arr))
+                    add_int(fp + ":" + tag, arr)
             else:
                 xf = jnp.where(vmask, x, 0).astype(jnp.float32)
                 yf = jnp.where(vmask, y, 0).astype(jnp.float32)
                 for tag, arr in (("sx", xf), ("sy", yf), ("sxy", xf * yf),
                                  ("sx2", xf * xf), ("sy2", yf * yf)):
-                    _float_sum_scatter(arr, code, domain, outs, fp + ":" + tag)
+                    add_float(fp + ":" + tag, arr)
             continue
         v = rows(args[0])
         if kind in ("sum", "avg", "mean"):
             if v.dtype.kind == "f":
                 vv = jnp.where(vmask, v, jnp.zeros((), v.dtype))
-                _float_sum_scatter(vv.astype(jnp.float32)
-                                   if v.dtype == jnp.float32 else vv,
-                                   code, domain, outs, fp + ":sum")
+                add_float(fp + ":sum",
+                          vv.astype(jnp.float32) if v.dtype == jnp.float32 else vv)
             else:
-                vv = jnp.where(vmask, v, jnp.zeros((), v.dtype)).astype(jnp.int64)
-                outs[fp + ":sum"] = (
-                    jnp.zeros((domain + 1,), jnp.int64).at[code].add(vv))
+                add_int(fp + ":sum",
+                        jnp.where(vmask, v, jnp.zeros((), v.dtype)).astype(jnp.int64))
         if kind in ("var", "stddev"):
             if v.dtype.kind in "ib":
                 vv = jnp.where(vmask, v, 0).astype(jnp.int64)
-                outs[fp + ":sum"] = jnp.zeros((domain + 1,), jnp.int64).at[code].add(vv)
-                outs[fp + ":ssq"] = jnp.zeros((domain + 1,), jnp.int64).at[code].add(vv * vv)
+                add_int(fp + ":sum", vv)
+                add_int(fp + ":ssq", vv * vv)
             else:
                 vv = jnp.where(vmask, v, jnp.zeros((), v.dtype)).astype(jnp.float32)
-                _float_sum_scatter(vv, code, domain, outs, fp + ":sum")
-                _float_sum_scatter(vv * vv, code, domain, outs, fp + ":ssq")
+                add_float(fp + ":sum", vv)
+                add_float(fp + ":ssq", vv * vv)
         if kind == "min":
             big = (jnp.inf if v.dtype.kind == "f"
                    else jnp.iinfo(v.dtype).max)
@@ -384,6 +368,18 @@ def _scatter_aggs(env, valid, code, domain, scatters,
                      else jnp.iinfo(v.dtype).min)
             vv = jnp.where(vmask, v, jnp.asarray(small, v.dtype))
             outs[fp + ":max"] = jnp.full((domain + 1,), small, v.dtype).at[code].max(vv)
+
+    if len(add_cols) == 1:
+        counts = jnp.zeros((domain + 1,), jnp.int64).at[code].add(add_cols[0])
+        outs["__counts__"] = counts.astype(jnp.int32)
+        return outs
+
+    payload = jnp.stack(add_cols, axis=1)                     # [n, K]
+    acc = jnp.zeros((domain + 1, len(add_cols)), jnp.int64)
+    acc = acc.at[code].add(payload)                           # ONE scatter
+    for j, tag in enumerate(add_tags):
+        col = acc[:, j]
+        outs[tag] = col.astype(jnp.int32) if tag == "__counts__" else col
     return outs
 
 

@@ -42,6 +42,11 @@ class IncrementalRandomForest:
     def _absorb(self, X: np.ndarray, y: np.ndarray) -> None:
         X = np.atleast_2d(np.asarray(X, dtype=np.float64))
         y = np.asarray(y, dtype=np.int64).ravel()
+        if X.size == 0 or len(y) == 0:
+            return
+        if self._X is not None and self._X.size == 0:
+            self._X = None
+            self._y = None
         if self._X is None:
             self._X, self._y = X.copy(), y.copy()
         else:

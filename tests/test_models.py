@@ -69,3 +69,14 @@ def test_load_module_sql_roundtrip(rng, tmp_path):
     r = db.execute("select test(pack(x1, x2, x3, x4), x5) from source")
     assert r.scalar() > 0.9
     db.close()
+
+
+def test_demo_workflow():
+    """Streaming ingest + conditional-trigger retraining (demo/run_demo.py,
+    reference demo/ parity)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "aq_demo", os.path.join(REPO, "demo", "run_demo.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.main() == 0

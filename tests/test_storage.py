@@ -85,3 +85,30 @@ def test_result_vector_csv(tmp_path):
     lines = p.read_text().strip().splitlines()
     assert lines[1] == "1;2"
     assert lines[2] == "3"
+
+
+def test_sqlite_attach(tmp_path):
+    import sqlite3
+    import aquery2_tpu as aq
+    from aquery2_tpu.storage.external import attach_sqlite, from_dataframe
+
+    dbfile = tmp_path / "ext.db"
+    conn = sqlite3.connect(dbfile)
+    conn.execute("CREATE TABLE trades(sym TEXT, px REAL, qty INTEGER)")
+    conn.executemany("INSERT INTO trades VALUES (?,?,?)",
+                     [("A", 1.5, 10), ("B", 2.5, 20), ("A", 3.5, 30)])
+    conn.commit()
+    conn.close()
+
+    s = aq.connect(base_dir=str(tmp_path))
+    names = attach_sqlite(s, "ext.db")
+    assert names == ["trades"]
+    r = s.execute("SELECT sym, sum(qty) FROM trades GROUP BY sym")
+    got = dict(r.rows())
+    assert got == {"A": 40, "B": 20}
+
+    import pandas as pd
+    df = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    from_dataframe(s, "pdt", df)
+    assert s.execute("SELECT count(*) FROM pdt").scalar() == 2
+    s.close()
