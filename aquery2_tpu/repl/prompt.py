@@ -72,6 +72,21 @@ class Repl:
                 subprocess.run(os.environ.get("SHELL", "/bin/sh"))
         elif cmd == "script":
             self.run_script_file(rest.strip())
+        elif cmd == "dbg":
+            # reference drops into an interactive console on demand
+            # (prompt.py:709-739); we open pdb over the live session
+            import pdb
+
+            session = self.session  # noqa: F841 (for the debugger user)
+            pdb.set_trace()
+        elif cmd == "engine":
+            # the reference switches MonetDB/DuckDB/C++ backends here;
+            # this engine has one executor — accept and report
+            print(f"single TPU engine (ignored: {rest.strip() or 'status'})")
+        elif cmd == "keep":
+            print("keep: compiled programs persist in the XLA cache by default")
+        elif cmd in ("r", "rr"):
+            self.run_buffer()
         elif cmd in ("exit", "q", "quit"):
             self.done = True
         elif cmd == "help":

@@ -100,3 +100,27 @@ def test_repl_commands(db, tmp_path, capsys):
     script.write_text("#!aquery\nSELECT count(*) FROM x\nexec\n")
     r.handle_line(f"script {script}")
     assert "2" in capsys.readouterr().out
+
+
+def test_server_mode(tmp_path):
+    """Client/server mode (reference IPC mode parity)."""
+    from aquery2_tpu.repl.server import AqClient, AqServer
+
+    srv = AqServer(port=0, session=aq.connect(base_dir=str(tmp_path)))
+    srv.start_background()
+    try:
+        c = AqClient(port=srv.port)
+        assert c.execute("CREATE TABLE t(a INT)") is None
+        c.execute("INSERT INTO t VALUES (1), (2), (3)")
+        out = c.execute("SELECT sum(a) FROM t")
+        assert out["rows"] == [("6",)]
+        with pytest.raises(RuntimeError):
+            c.execute("SELECT * FROM missing_table")
+        # second client shares the catalog
+        c2 = AqClient(port=srv.port)
+        assert c2.execute("SELECT count(*) FROM t")["rows"] == [("3",)]
+        c.close()
+        c2.close()
+    finally:
+        srv.shutdown()
+        srv.session.close()
