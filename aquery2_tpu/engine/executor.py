@@ -58,6 +58,8 @@ class Executor:
             return self._insert(stmt)
         if isinstance(stmt, A.Delete):
             return self._delete(stmt)
+        if isinstance(stmt, A.Update):
+            return self._update(stmt)
         if isinstance(stmt, A.Load):
             tbl = self.session.catalog.get(stmt.table)
             csvio.load_csv_into(tbl, self.session.resolve_path(stmt.path),
@@ -176,6 +178,42 @@ class Executor:
             v = ws2.column_value(name)
             tbl.columns[name] = Column(name, v.sqltype, v.data, nrows=ws2.n,
                                        dictionary=v.dictionary)
+        return None
+
+    def _update(self, stmt: A.Update) -> None:
+        """UPDATE t SET c = expr [, ...] [WHERE cond] — masked overwrite
+        of device columns (the reference forwards UPDATEs to MonetDB)."""
+        tbl = self.session.catalog.get(stmt.table)
+        ws = WorkingSet.from_table(tbl)
+        ctx = EvalContext(ws, self.session)
+        if stmt.where is not None:
+            mv = ctx.to_row(ctx.eval(stmt.where))
+            mask = mv.data if mv.data.dtype == jnp.bool_ else mv.data != 0
+        else:
+            mask = jnp.ones((ws.capacity,), jnp.bool_)
+        idx = jnp.arange(ws.capacity, dtype=jnp.int32)
+        mask = mask & (idx < ws.n)
+        for cname, expr in stmt.assignments:
+            col = tbl.columns[cname]
+            if isinstance(col, VectorColumn):
+                raise ExecError("UPDATE of vector columns not supported")
+            nv = ctx.to_row(ctx.eval(expr))
+            newdata = nv.data
+            if col.sqltype.is_string:
+                if isinstance(nv.data, str) or nv.kind == "scalar":
+                    d = col.dictionary or StringDict()
+                    code = d.encode_one(str(nv.data))
+                    newdata = jnp.full((ws.capacity,), code, jnp.int32)
+                elif nv.dictionary is not None and nv.dictionary is not col.dictionary:
+                    newdata = _translate_codes(nv, col.dictionary).data
+            elif nv.kind == "scalar":
+                newdata = jnp.full((ws.capacity,), nv.data,
+                                   col.data.dtype)
+            data = jnp.where(mask, newdata.astype(col.data.dtype),
+                             col.data[: ws.capacity])
+            tbl.columns[cname] = Column(col.name, col.sqltype, data,
+                                        nrows=tbl.nrows,
+                                        dictionary=col.dictionary)
         return None
 
     # ------------------------------------------------------------------ #

@@ -161,6 +161,13 @@ class Delete:
 
 
 @dataclass
+class Update:
+    table: str
+    assignments: list[tuple[str, Expr]] = field(default_factory=list)
+    where: Expr | None = None
+
+
+@dataclass
 class Load:
     table: str
     path: str

@@ -121,6 +121,8 @@ class Parser:
             return self._insert()
         if kw == "delete":
             return self._delete()
+        if kw == "update":
+            return self._update()
         if kw == "load":
             return self._load()
         if kw == "select":
@@ -238,6 +240,22 @@ class Parser:
         if self.at_kw("select"):
             return A.Insert(table, columns=cols, select=self.parse_select())
         raise self.error("expected VALUES or SELECT")
+
+    def _update(self) -> A.Update:
+        self.next()
+        table = self.expect_ident()
+        self.expect_kw("set")
+        assigns: list[tuple[str, A.Expr]] = []
+        while True:
+            col = self.expect_ident()
+            self.expect_op("=")
+            assigns.append((col, self.parse_expr()))
+            if not self.accept_op(","):
+                break
+        where = None
+        if self.accept_kw("where"):
+            where = self.parse_expr()
+        return A.Update(table, assigns, where)
 
     def _delete(self) -> A.Delete:
         self.next()

@@ -48,35 +48,60 @@ DEFAULT_QUERIES = ["q1", "q2", "q3", "q4", "q5", "q7", "q10", "qj"]
 
 def make_data(session, n: int, seed: int = 42) -> None:
     """G1-style synthetic data (h2o db-benchmark shape; _n numeric ids,
-    reference benchmark/h2o/groupby_prep.sql declares all-int ids)."""
-    import aquery2_tpu as aq
+    reference benchmark/h2o/groupby_prep.sql declares all-int ids).
+
+    Generated ON DEVICE with jax.random — host→device transfers over a
+    tunneled TPU run at ~10 MB/s, so shipping 600 MB of host arrays
+    dominated setup; device-side generation is instant."""
+    import jax
+    import jax.numpy as jnp
+
+    from aquery2_tpu import config
     from aquery2_tpu import types as T
     from aquery2_tpu.storage.table import Column, Table
 
-    rng = np.random.default_rng(seed)
     k = 10
     nk = max(n // k, 1)
-    cols = {
-        "id1": rng.integers(1, k + 1, n).astype(np.int32),
-        "id2": rng.integers(1, k + 1, n).astype(np.int32),
-        "id3": rng.integers(1, nk + 1, n).astype(np.int32),
-        "id4": rng.integers(1, k + 1, n).astype(np.int32),
-        "id5": rng.integers(1, k + 1, n).astype(np.int32),
-        "id6": rng.integers(1, nk + 1, n).astype(np.int32),
-        "v1": rng.integers(1, 6, n).astype(np.int32),
-        "v2": rng.integers(1, 16, n).astype(np.int32),
-        "v3": np.round(rng.random(n) * 100, 6).astype(np.float32),
-    }
+    cap = config.bucket_size(n)
+
+    @jax.jit
+    def gen(key):
+        ks = jax.random.split(key, 9)
+        def ints(kk, lo, hi):
+            return jax.random.randint(kk, (cap,), lo, hi, dtype=jnp.int32)
+        return (
+            ints(ks[0], 1, k + 1), ints(ks[1], 1, k + 1),
+            ints(ks[2], 1, nk + 1), ints(ks[3], 1, k + 1),
+            ints(ks[4], 1, k + 1), ints(ks[5], 1, nk + 1),
+            ints(ks[6], 1, 6), ints(ks[7], 1, 16),
+            jnp.round(jax.random.uniform(ks[8], (cap,), jnp.float32) * 100, 6),
+        )
+
+    arrays = gen(jax.random.PRNGKey(seed))
+    jax.block_until_ready(arrays)
+    names = ["id1", "id2", "id3", "id4", "id5", "id6", "v1", "v2", "v3"]
     t = Table("source", [
-        Column(name, T.FloatT if name == "v3" else T.IntT, arr)
-        for name, arr in cols.items()
+        Column(nm, T.FloatT if nm == "v3" else T.IntT, arr, nrows=n)
+        for nm, arr in zip(names, arrays)
     ])
     session.catalog.create(t, replace=True)
-    # join dim: 10% sample of id3 domain with weights
+
+    # join dim: ~10% sample of the id3 domain with weights
     dsize = max(nk // 10, 1)
+    dcap = config.bucket_size(dsize)
+
+    @jax.jit
+    def gen_dim(key):
+        k1, k2 = jax.random.split(key)
+        # distinct-ish keys: strided sample of the domain
+        base = (jnp.arange(dcap, dtype=jnp.int32) * 10 + 1) % nk + 1
+        w = jax.random.randint(k2, (dcap,), 1, 100, dtype=jnp.int32)
+        return base, w
+
+    dkeys, dw = gen_dim(jax.random.PRNGKey(seed + 1))
     dim = Table("dim", [
-        Column("id3", T.IntT, rng.choice(nk, dsize, replace=False).astype(np.int32) + 1),
-        Column("w", T.IntT, rng.integers(1, 100, dsize).astype(np.int32)),
+        Column("id3", T.IntT, dkeys, nrows=dsize),
+        Column("w", T.IntT, dw, nrows=dsize),
     ])
     session.catalog.create(dim, replace=True)
 

@@ -369,3 +369,13 @@ def test_like_and_string_ranges(db):
     assert sorted(v[0] for v in r3.rows()) == ["beta", "gamma"]
     r4 = db.execute("SELECT name FROM n WHERE name <= 'beta'")
     assert sorted(v[0] for v in r4.rows()) == ["alpha", "alphabet", "beta"]
+
+
+def test_update(db):
+    db.execute("CREATE TABLE u(a INT, b INT, s varchar(4))")
+    db.execute("INSERT INTO u VALUES (1, 10, 'x'), (2, 20, 'y'), (3, 30, 'z')")
+    db.execute("UPDATE u SET b = b * 2 WHERE a >= 2")
+    assert db.execute("SELECT b FROM u").rows() == [(10,), (40,), (60,)]
+    db.execute("UPDATE u SET s = 'w', a = 0 WHERE b = 40")
+    got = db.execute("SELECT a, s FROM u").rows()
+    assert got == [(1, "x"), (0, "w"), (3, "z")]
