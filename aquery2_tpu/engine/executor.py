@@ -232,6 +232,12 @@ class Executor:
                                   sel, self.session.catalog.get(sel.sources[0].name))
             if t is not None:
                 return t
+            from aquery2_tpu.engine import fused_ordered
+
+            t = fused_ordered.run(self.session,
+                                  sel, self.session.catalog.get(sel.sources[0].name))
+            if t is not None:
+                return t
 
         if len(sel.sources) == 2 and not sel.group_by:
             from aquery2_tpu.engine import fused_join

@@ -280,7 +280,7 @@ def _make_stage1(key_names, key_mins, key_ranges, scatters, where,
 
 
 def _scatter_aggs(env, valid, code, domain, scatters,
-                  row_gather=None) -> dict[str, jax.Array]:
+                  row_gather=None, eval_fn=None) -> dict[str, jax.Array]:
     """Scatter-reduce every needed aggregate into (domain+1,) accumulators.
 
     All additive contributions (counts, integer sums, float-sum limbs,
@@ -293,7 +293,7 @@ def _scatter_aggs(env, valid, code, domain, scatters,
     (used by the sort strategy, where `code` indexes the sorted layout)."""
 
     def rows(e):
-        v = _row_eval(e, env)
+        v = eval_fn(e) if eval_fn is not None else _row_eval(e, env)
         return v if row_gather is None else v[row_gather]
 
     vmask = valid if row_gather is None else valid[row_gather]
