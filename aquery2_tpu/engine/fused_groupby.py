@@ -279,47 +279,43 @@ def _make_stage1(key_names, key_mins, key_ranges, scatters, where,
     return stage1, domain, strides
 
 
-def _scatter_aggs(env, valid, code, domain, scatters,
-                  row_gather=None, eval_fn=None) -> dict[str, jax.Array]:
-    """Scatter-reduce every needed aggregate into (domain+1,) accumulators.
+def _build_lanes(env, valid, scatters, eval_fn=None):
+    """Evaluate every row expression into per-row reduction lanes.
 
-    All additive contributions (counts, integer sums, float-sum limbs,
-    corr moments) are packed into ONE wide [n, K] int64 scatter-add —
-    K lanes amortize the scatter's index-handling cost across every
-    aggregate (a k-column query costs one scatter, not k).
-
-    code: per-row slot (invalid rows must carry `domain`). row_gather: an
-    optional permutation applied to row expressions before scattering
-    (used by the sort strategy, where `code` indexes the sorted layout)."""
+    Returns (add_lanes int64, min_lanes, max_lanes, f64_lanes), each a
+    tag → [n] array dict, masked so invalid rows are identities. Lane
+    arrays stay 1-D throughout — never stacked into [n, K] (a minor dim
+    of K gets tile-padded to 128 on TPU: 64× HBM blowup at 16M rows)."""
 
     def rows(e):
-        v = eval_fn(e) if eval_fn is not None else _row_eval(e, env)
-        return v if row_gather is None else v[row_gather]
+        return eval_fn(e) if eval_fn is not None else _row_eval(e, env)
 
-    vmask = valid if row_gather is None else valid[row_gather]
-    n = code.shape[0]
-
-    add_tags: list[str] = ["__counts__"]
-    add_cols: list[jax.Array] = [vmask.astype(jnp.int64)]
-    outs: dict[str, jax.Array] = {}
-
-    def add_int(tag: str, col: jax.Array) -> None:
-        add_tags.append(tag)
-        add_cols.append(col)
+    vmask = valid
+    add: dict[str, jax.Array] = {"__counts__": vmask}
+    mins: dict[str, jax.Array] = {}
+    maxs: dict[str, jax.Array] = {}
+    f64s: dict[str, jax.Array] = {}
 
     def add_float(tag: str, vv: jax.Array) -> None:
-        """Exact f32 sums as two int64 limbs (see _split_scatter_sum)."""
+        """Exact f32 sums as two integer-valued f32 limbs (recombined in
+        f64 by _reconstruct_split). The limbs stay f32 — int64 lanes are
+        poison on TPU (emulated arithmetic, 16× slower scatters)."""
         if vv.dtype == jnp.float32:
             P1 = 14
             a = jnp.round(vv * jnp.float32(2.0 ** P1))
             r = vv - a * jnp.float32(2.0 ** -P1)
             b = jnp.round(r * jnp.float32(2.0 ** (P1 + 24)))
-            add_int(tag + "#A", a.astype(jnp.int64))
-            add_int(tag + "#B", b.astype(jnp.int64))
+            add[tag + "#A"] = a
+            add[tag + "#B"] = b
         else:
             # f64 columns: slow f64 scatter (rare; exactness over speed)
-            outs[tag] = jnp.zeros((domain + 1,), jnp.float64).at[code].add(
-                vv.astype(jnp.float64))
+            f64s[tag] = jnp.where(vmask, vv, 0.0).astype(jnp.float64)
+
+    def widen_sq(v):
+        """Square that cannot overflow: int32 inputs widen to int64."""
+        if v.dtype.itemsize <= 4:
+            return v.astype(jnp.int64)
+        return v
 
     for fp, (kind, args) in scatters.items():
         if kind == "count":
@@ -328,11 +324,12 @@ def _scatter_aggs(env, valid, code, domain, scatters,
             x = rows(args[0])
             y = rows(args[1])
             if x.dtype.kind in "ib" and y.dtype.kind in "ib":
-                xi = jnp.where(vmask, x, 0).astype(jnp.int64)
-                yi = jnp.where(vmask, y, 0).astype(jnp.int64)
-                for tag, arr in (("sx", xi), ("sy", yi), ("sxy", xi * yi),
-                                 ("sx2", xi * xi), ("sy2", yi * yi)):
-                    add_int(fp + ":" + tag, arr)
+                xi = jnp.where(vmask, x, jnp.zeros((), x.dtype))
+                yi = jnp.where(vmask, y, jnp.zeros((), y.dtype))
+                xw, yw = widen_sq(xi), widen_sq(yi)
+                for tag, arr in (("sx", xi), ("sy", yi), ("sxy", xw * yw),
+                                 ("sx2", xw * xw), ("sy2", yw * yw)):
+                    add[fp + ":" + tag] = arr
             else:
                 xf = jnp.where(vmask, x, 0).astype(jnp.float32)
                 yf = jnp.where(vmask, y, 0).astype(jnp.float32)
@@ -347,39 +344,42 @@ def _scatter_aggs(env, valid, code, domain, scatters,
                 add_float(fp + ":sum",
                           vv.astype(jnp.float32) if v.dtype == jnp.float32 else vv)
             else:
-                add_int(fp + ":sum",
-                        jnp.where(vmask, v, jnp.zeros((), v.dtype)).astype(jnp.int64))
+                add[fp + ":sum"] = jnp.where(vmask, v, jnp.zeros((), v.dtype))
         if kind in ("var", "stddev"):
             if v.dtype.kind in "ib":
-                vv = jnp.where(vmask, v, 0).astype(jnp.int64)
-                add_int(fp + ":sum", vv)
-                add_int(fp + ":ssq", vv * vv)
+                vv = jnp.where(vmask, v, jnp.zeros((), v.dtype))
+                add[fp + ":sum"] = vv
+                vw = widen_sq(vv)
+                add[fp + ":ssq"] = vw * vw
             else:
                 vv = jnp.where(vmask, v, jnp.zeros((), v.dtype)).astype(jnp.float32)
                 add_float(fp + ":sum", vv)
                 add_float(fp + ":ssq", vv * vv)
         if kind == "min":
-            big = (jnp.inf if v.dtype.kind == "f"
-                   else jnp.iinfo(v.dtype).max)
-            vv = jnp.where(vmask, v, jnp.asarray(big, v.dtype))
-            outs[fp + ":min"] = jnp.full((domain + 1,), big, v.dtype).at[code].min(vv)
+            big = _sentinel_max(v.dtype)
+            mins[fp + ":min"] = jnp.where(vmask, v, jnp.asarray(big, v.dtype))
         if kind == "max":
-            small = (-jnp.inf if v.dtype.kind == "f"
-                     else jnp.iinfo(v.dtype).min)
-            vv = jnp.where(vmask, v, jnp.asarray(small, v.dtype))
-            outs[fp + ":max"] = jnp.full((domain + 1,), small, v.dtype).at[code].max(vv)
+            small = _sentinel_min(v.dtype)
+            maxs[fp + ":max"] = jnp.where(vmask, v, jnp.asarray(small, v.dtype))
+    return add, mins, maxs, f64s
 
-    if len(add_cols) == 1:
-        counts = jnp.zeros((domain + 1,), jnp.int64).at[code].add(add_cols[0])
-        outs["__counts__"] = counts.astype(jnp.int32)
-        return outs
 
-    payload = jnp.stack(add_cols, axis=1)                     # [n, K]
-    acc = jnp.zeros((domain + 1, len(add_cols)), jnp.int64)
-    acc = acc.at[code].add(payload)                           # ONE scatter
-    for j, tag in enumerate(add_tags):
-        col = acc[:, j]
-        outs[tag] = col.astype(jnp.int32) if tag == "__counts__" else col
+def _scatter_aggs(env, valid, code, domain, scatters,
+                  eval_fn=None, lanes=None) -> dict[str, jax.Array]:
+    """Reduce every needed aggregate into (domain+1,) dense accumulators
+    via ops.reduce.segment_reduce (one-hot MXU matmul for small domains,
+    per-lane 1-D scatters otherwise).
+
+    code: per-row slot (invalid rows must carry `domain`). lanes: pre-
+    built/permuted lane dicts (the sort strategy carries lanes through
+    lax.sort instead of gathering)."""
+    from aquery2_tpu.ops import reduce as R
+
+    if lanes is None:
+        lanes = _build_lanes(env, valid, scatters, eval_fn=eval_fn)
+    add, mins, maxs, f64s = lanes
+    outs = R.segment_reduce(code, add, mins, maxs, f64s, domain)
+    outs["__counts__"] = outs["__counts__"].astype(jnp.int32)
     return outs
 
 
@@ -461,19 +461,32 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
     if n == 0:
         return None
 
-    # key stats → dense domain; too-large domains use the sort strategy
+    # Key stats → packed-code domain → strategy choice. Three tiers
+    # (ops/reduce.py has the measured cost model):
+    #   dense    — tiny domains: dense accumulators (one-hot MXU matmul)
+    #   packed   — keys pack into one int32/int64 code: single-key sort
+    #              + cumsum/boundary reduction (scatters are ~16× the
+    #              cost of a sort for 64-bit lanes)
+    #   multikey — unpackable keys (huge ranges / floats): lexicographic
+    #              multi-operand sort, same reduction
     key_cols = [cols[k.name] for k in p["keys"]]
     key_mins, key_ranges = [], []
     domain = 1
-    strategy = "dense"
+    packable = True
     for c in key_cols:
+        if c.data.dtype.kind not in "iub":
+            packable = False
+            break
         mn, mx = c.stats()
         key_mins.append(int(mn))
         key_ranges.append(int(mx) - int(mn) + 1)
         domain *= key_ranges[-1]
-        if domain > config.PERFECT_HASH_MAX_DOMAIN:
-            strategy = "sort"
-            break
+    if packable and domain <= config.ONEHOT_MATMUL_MAX_GROUPS:
+        strategy = "dense"
+    elif packable and domain <= 2**62:
+        strategy = "packed"
+    else:
+        strategy = "multikey"
 
     scatters = _needed_scatters(p["aggs"])
     key_names = [k.name.lower() for k in p["keys"]]
@@ -510,9 +523,12 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
         repr(p["where"]), tuple(key_mins), tuple(key_ranges),
         tuple((a.shape[0], str(a.dtype)) for a in arrays),
     )
-    if strategy == "sort":
+    if strategy == "multikey":
         return _run_sort(session, sel, table, p, col_order, arrays,
                          fingerprint, n)
+    if strategy == "packed":
+        return _run_sort_packed(session, sel, table, p, col_order, arrays,
+                                fingerprint, n, key_mins, key_ranges)
     entry = _cache.get(fingerprint)
     if entry is None:
         def sum_dtype_for(dt):
@@ -536,7 +552,8 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
             outs, num_groups = stage1(nn, *arrs)
             counts_all = outs["__counts__"]
             present = counts_all[:dom] > 0
-            ucodes = jnp.nonzero(present, size=gcap, fill_value=dom)[0]
+            from aquery2_tpu.ops.reduce import compact_indices
+            ucodes = compact_indices(present, gcap, fill=dom)
             safe = jnp.minimum(ucodes, dom)
             gathered = {fp_tag: arr[safe] for fp_tag, arr in outs.items()}
             counts = counts_all[safe]
@@ -615,78 +632,35 @@ def _sentinel_max(dt):
     return jnp.iinfo(dt).max
 
 
-def _run_sort(session, sel, table, p, col_order, arrays, fingerprint, n):
-    """Sort-based fused group-by: one jitted program —
+def _sentinel_min(dt):
+    dt = jnp.dtype(dt)
+    if dt.kind == "f":
+        return -jnp.inf
+    if dt == jnp.bool_:
+        return False
+    return jnp.iinfo(dt).min
 
-        multi-key stable sort → boundary flags → dense group ids via
-        cumsum → scatter-reduce by gid → keys via scatter-min.
 
-    Group slots are row-capacity sized (G ≤ n); group order is key-
-    lexicographic ascending. This is the generic tier of the reference's
-    two-tier hash design (hasher.h AQHashTable) expressed as an on-device
-    sort (collision-free, deterministic, maps to XLA's sort HLO).
-    """
+def _split_sorted_payload(sorted_res, noff, tag_groups):
+    """Unpack lax.sort results back into the lane dicts."""
+    it = iter(sorted_res[noff:])
+    return tuple({t: next(it) for t in tags} for tags in tag_groups)
+
+
+def _lane_payload(lanes):
+    """Fixed-order payload list + tag groups for a lax.sort carry."""
+    add, mins, maxs, f64s = lanes
+    tag_groups = (list(add), list(mins), list(maxs), list(f64s))
+    payload = ([add[t] for t in tag_groups[0]]
+               + [mins[t] for t in tag_groups[1]]
+               + [maxs[t] for t in tag_groups[2]]
+               + [f64s[t] for t in tag_groups[3]])
+    return payload, tag_groups
+
+
+def _finish(session, p, cols, results, g):
+    """Materialize the output Table from per-projection padded arrays."""
     from aquery2_tpu.engine.executor import _derive_name, _limit_table
-
-    cols = table.columns
-    key_names = [k.name.lower() for k in p["keys"]]
-    scatters = _needed_scatters(p["aggs"])
-    cap = int(arrays[0].shape[0])
-
-    entry = _cache.get(fingerprint)
-    if entry is None:
-        def fused_sort(nn, *arrs):
-            env = dict(zip(col_order, arrs))
-            idx = jnp.arange(cap, dtype=jnp.int32)
-            valid = idx < nn
-            if p["where"] is not None:
-                w = _row_eval(p["where"], env)
-                if w.dtype != jnp.bool_:
-                    w = w != 0
-                valid = valid & w
-            ops = []
-            for kn in key_names:
-                k = env[kn]
-                ops.append(jnp.where(valid, k, jnp.asarray(_sentinel_max(k.dtype), k.dtype)))
-            sorted_res = jax.lax.sort([*ops, idx], num_keys=len(ops),
-                                      is_stable=False)
-            sorted_keys = sorted_res[:-1]
-            perm = sorted_res[-1]
-            valid_s = valid[perm]
-            diff = jnp.zeros((cap,), jnp.bool_)
-            for sk in sorted_keys:
-                prev = jnp.concatenate([sk[:1], sk[:-1]])
-                diff = diff | (sk != prev)
-            diff = diff.at[0].set(True)
-            diff = diff & valid_s
-            gid = jnp.cumsum(diff.astype(jnp.int32)) - 1
-            ng = jnp.sum(diff, dtype=jnp.int32)
-            gid = jnp.where(valid_s, gid, cap).astype(jnp.int32)
-
-            outs = _scatter_aggs(env, valid, gid, cap, scatters,
-                                 row_gather=perm)
-            outs = {k: v[:cap] for k, v in outs.items()}
-            counts = outs["__counts__"]
-            results = []
-            for kindp, expr, alias in p["projections"]:
-                if kindp == "key":
-                    ki = key_names.index(expr.name.lower())
-                    sk = sorted_keys[ki]
-                    big = jnp.asarray(_sentinel_max(sk.dtype), sk.dtype)
-                    kv = jnp.full((cap + 1,), big, sk.dtype).at[gid].min(sk)
-                    results.append(kv[:cap])
-                else:
-                    results.append(_post_agg_eval(expr, outs, counts, None))
-            return results, ng
-
-        entry = jax.jit(fused_sort)
-        _cache[fingerprint] = entry
-
-    results, num_groups = entry(n, *arrays)
-    g = int(num_groups)
-    out_cap = config.bucket_size(max(g, 1))
-    if out_cap < cap:
-        results = [r[:out_cap] for r in results]
 
     out = Table.__new__(Table)
     out.name = f"result_{base62uuid(4)}"
@@ -721,3 +695,161 @@ def _run_sort(session, sel, table, p, col_order, arrays, fingerprint, n):
         Result(out).to_csv(session.resolve_path(p["into_outfile"]),
                            sep=p["outfile_sep"], header=False)
     return out
+
+
+def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
+                     n, key_mins, key_ranges):
+    """Packed-code sort group-by: one jitted program —
+
+        pack keys into ONE int32/int64 code (perfect-hash packing from
+        column stats, reference hasher.h:209-322) → single-key sort
+        carrying reduction lanes as payload → cumsum + boundary-gather
+        segment reduction → keys decoded arithmetically per group.
+
+    This is the workhorse tier: a sort costs ~3-6 ns/row on v5e while a
+    64-bit scatter costs ~130 — so sort once, never scatter row data.
+    Group order is code-ascending (= key-lexicographic)."""
+    from aquery2_tpu.ops import reduce as R
+
+    cols = table.columns
+    key_names = [k.name.lower() for k in p["keys"]]
+    scatters = _needed_scatters(p["aggs"])
+    cap = int(arrays[0].shape[0])
+
+    strides = []
+    s = 1
+    for r in reversed(key_ranges):
+        strides.append(s)
+        s *= r
+    strides.reverse()
+    domain = s
+    code_dtype = jnp.int32 if domain < 2**31 - 1 else jnp.int64
+    gcap = config.bucket_size(min(domain, cap))
+    key_dtypes = [cols[kn].data.dtype for kn in key_names]
+
+    entry = _cache.get(fingerprint)
+    if entry is None:
+        def fused_ps(nn, *arrs):
+            env = dict(zip(col_order, arrs))
+            idx = jnp.arange(cap, dtype=jnp.int32)
+            valid = idx < nn
+            if p["where"] is not None:
+                w = _row_eval(p["where"], env)
+                if w.dtype != jnp.bool_:
+                    w = w != 0
+                valid = valid & w
+            code = None
+            for kn, mn, st in zip(key_names, key_mins, strides):
+                part = ((env[kn].astype(code_dtype) - code_dtype(mn))
+                        * code_dtype(st))
+                code = part if code is None else code + part
+            code = jnp.where(valid, code, code_dtype(domain))
+
+            lanes = _build_lanes(env, valid, scatters)
+            payload, tag_groups = _lane_payload(lanes)
+            sorted_res = jax.lax.sort([code, *payload], num_keys=1,
+                                      is_stable=False)
+            sc = sorted_res[0]
+            add_s, mins_s, maxs_s, f64s_s = _split_sorted_payload(
+                sorted_res, 1, tag_groups)
+
+            dif = sc[1:] != sc[:-1]
+            starts = jnp.concatenate([jnp.ones((1,), jnp.bool_), dif])
+            valid_s = sc < domain
+            last = jnp.concatenate([dif, jnp.ones((1,), jnp.bool_)]) & valid_s
+            outs, ends_idx, ng = R.sorted_group_reduce(
+                starts, last, add_s, mins_s, maxs_s, f64s_s, gcap)
+            counts = outs["__counts__"]
+            codes_g = sc[ends_idx]
+            results = []
+            for kindp, expr, alias in p["projections"]:
+                if kindp == "key":
+                    ki = key_names.index(expr.name.lower())
+                    kv = ((codes_g.astype(jnp.int64) // strides[ki])
+                          % key_ranges[ki] + key_mins[ki])
+                    results.append(kv.astype(key_dtypes[ki]))
+                else:
+                    results.append(_post_agg_eval(expr, outs, counts, None))
+            return results, ng
+
+        entry = jax.jit(fused_ps)
+        _cache[fingerprint] = entry
+
+    results, num_groups = entry(n, *arrays)
+    g = int(num_groups)
+    out_cap = config.bucket_size(max(g, 1))
+    if out_cap < gcap:
+        results = [r[:out_cap] for r in results]
+    return _finish(session, p, cols, results, g)
+
+
+def _run_sort(session, sel, table, p, col_order, arrays, fingerprint, n):
+    """Multi-key sort group-by (fallback for unpackable keys: float/huge
+    ranges): lexicographic multi-operand sort carrying reduction lanes →
+    boundary flags from all key columns → cumsum + boundary-gather
+    reduction; representative keys gathered at group end rows.
+
+    Group order is key-lexicographic ascending. This is the generic tier
+    of the reference's two-tier hash design (hasher.h AQHashTable)
+    expressed as an on-device sort (collision-free, deterministic, maps
+    to XLA's sort HLO)."""
+    from aquery2_tpu.ops import reduce as R
+
+    cols = table.columns
+    key_names = [k.name.lower() for k in p["keys"]]
+    scatters = _needed_scatters(p["aggs"])
+    cap = int(arrays[0].shape[0])
+
+    entry = _cache.get(fingerprint)
+    if entry is None:
+        def fused_sort(nn, *arrs):
+            env = dict(zip(col_order, arrs))
+            idx = jnp.arange(cap, dtype=jnp.int32)
+            valid = idx < nn
+            if p["where"] is not None:
+                w = _row_eval(p["where"], env)
+                if w.dtype != jnp.bool_:
+                    w = w != 0
+                valid = valid & w
+            ops = []
+            for kn in key_names:
+                k = env[kn]
+                ops.append(jnp.where(
+                    valid, k, jnp.asarray(_sentinel_max(k.dtype), k.dtype)))
+            # reduction lanes ride the sort as extra operands — a random
+            # gather costs as much as the whole sort on TPU (~9 ns/row)
+            lanes = _build_lanes(env, valid, scatters)
+            payload, tag_groups = _lane_payload(lanes)
+            sorted_res = jax.lax.sort(
+                [*ops, valid, *payload], num_keys=len(ops), is_stable=False)
+            sorted_keys = sorted_res[:len(ops)]
+            valid_s = sorted_res[len(ops)]
+            add_s, mins_s, maxs_s, f64s_s = _split_sorted_payload(
+                sorted_res, len(ops) + 1, tag_groups)
+
+            dif = jnp.zeros((cap - 1,), jnp.bool_)
+            for sk in sorted_keys:
+                dif = dif | (sk[1:] != sk[:-1])
+            starts = jnp.concatenate([jnp.ones((1,), jnp.bool_), dif])
+            last = jnp.concatenate([dif, jnp.ones((1,), jnp.bool_)]) & valid_s
+            outs, ends_idx, ng = R.sorted_group_reduce(
+                starts, last, add_s, mins_s, maxs_s, f64s_s, cap)
+            counts = outs["__counts__"]
+            results = []
+            for kindp, expr, alias in p["projections"]:
+                if kindp == "key":
+                    ki = key_names.index(expr.name.lower())
+                    results.append(sorted_keys[ki][ends_idx])
+                else:
+                    results.append(_post_agg_eval(expr, outs, counts, None))
+            return results, ng
+
+        entry = jax.jit(fused_sort)
+        _cache[fingerprint] = entry
+
+    results, num_groups = entry(n, *arrays)
+    g = int(num_groups)
+    out_cap = config.bucket_size(max(g, 1))
+    if out_cap < cap:
+        results = [r[:out_cap] for r in results]
+    return _finish(session, p, cols, results, g)

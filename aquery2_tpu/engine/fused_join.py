@@ -80,8 +80,12 @@ def try_run(session, sel: A.Select) -> Table | None:
             ri = jnp.arange(rk.shape[0], dtype=jnp.int32)
             big = jnp.asarray(jnp.iinfo(rk.dtype).max, rk.dtype)
             rk_s = jnp.sort(jnp.where(ri < nr, rk, big))
-            lo = jnp.searchsorted(rk_s, lk.astype(rk.dtype), side="left")
-            hi = jnp.searchsorted(rk_s, lk.astype(rk.dtype), side="right")
+            # method="sort": batched search via one big sort — the default
+            # "scan" method is a 2·log(m)-step serialized gather loop on
+            # TPU (~5 s at 16M probes; the sort form is ~40×, faster)
+            lkc = lk.astype(rk.dtype)
+            lo = jnp.searchsorted(rk_s, lkc, side="left", method="sort")
+            hi = jnp.searchsorted(rk_s, lkc, side="right", method="sort")
             cnt = jnp.where(li < nl, (hi - lo).astype(jnp.int64), 0)
             return jnp.sum(cnt, dtype=jnp.int64)
 

@@ -337,12 +337,17 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
             # idx is BOTH payload (the permutation) and the final sort key:
             # ties break by original row order, preserving insertion order
             # within groups — AQuery's ordered semantics (ASSUMING keeps
-            # the base order for equal keys, reference engine/ast.py:312)
-            res = jax.lax.sort([*ops, idx], num_keys=len(ops) + 1,
-                               is_stable=False)
-            perm = res[-1]
+            # the base order for equal keys, reference engine/ast.py:312).
+            # Referenced columns + validity ride the sort as payload
+            # operands: a random gather costs as much as the whole sort
+            # on TPU (~9 ns/row), so never env[..][perm].
+            res = jax.lax.sort(
+                [*ops, idx, valid, *[env[nm] for nm in col_order]],
+                num_keys=len(ops) + 1, is_stable=False)
+            perm = res[len(ops)]
             sorted_keys = res[: len(key_names)]
-            valid_s = valid[perm]
+            valid_s = res[len(ops) + 1]
+            env_sorted = dict(zip(col_order, res[len(ops) + 2:]))
             diff = jnp.zeros((cap,), jnp.bool_)
             for sk in sorted_keys:
                 prev = jnp.concatenate([sk[:1], sk[:-1]])
@@ -354,24 +359,23 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
             gid = jnp.where(valid_s, gid_raw, cap).astype(jnp.int32)
             pos = segment.pos_from_flags(flags)
 
-            env_sorted = {nm: env[nm][perm] for nm in col_order}
-
             def eval_sorted(e):
                 return _ordered_row_eval(e, env_sorted, pos, flags)
 
-            # aggregates over (possibly windowed) sorted rows
-            outs = _scatter_sorted(eval_sorted, valid_s, gid, cap, scatters)
-            outs = {k2: v[:cap] for k2, v in outs.items()}
+            # aggregates over (possibly windowed) sorted rows; group
+            # boundaries from the key-diff flags (invalid rows carry
+            # sentinel keys, so the last valid group still closes)
+            last = jnp.concatenate(
+                [diff[1:], jnp.ones((1,), jnp.bool_)]) & valid_s
+            outs, ends_idx, _ng2 = _sorted_reduce(
+                eval_sorted, valid_s, diff, last, cap, scatters)
             counts = outs["__counts__"]
 
             results = []  # flat arrays; static tags live in out_tags
             for kindp, expr, alias in p["projections"]:
                 if kindp == "key":
                     ki = key_names.index(expr.name.lower())
-                    sk = sorted_keys[ki]
-                    big = jnp.asarray(fg._sentinel_max(sk.dtype), sk.dtype)
-                    kv = jnp.full((cap + 1,), big, sk.dtype).at[gid].min(sk)
-                    results.append(kv[:cap])
+                    results.append(sorted_keys[ki][ends_idx])
                 elif kindp == "row":
                     if _is_window_call(expr) and expr.func == "subvec":
                         base = eval_sorted(expr.args[0])
@@ -479,8 +483,13 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
     return out
 
 
-def _scatter_sorted(eval_sorted, valid_s, gid, cap, scatters):
-    """fused_groupby._scatter_aggs over pre-sorted rows with a custom
-    row evaluator (windowed leaves resolved by eval_sorted)."""
-    return fg._scatter_aggs({}, valid_s, gid, cap, scatters,
-                            eval_fn=eval_sorted)
+def _sorted_reduce(eval_sorted, valid_s, starts, last, cap, scatters):
+    """Group reduction over rows already sorted by group key, with a
+    custom row evaluator (windowed leaves resolved by eval_sorted).
+    Cumsum/boundary-gather based — no per-group scatters (ops/reduce.py
+    has the measured cost model)."""
+    from aquery2_tpu.ops import reduce as R
+
+    add, mins, maxs, f64s = fg._build_lanes({}, valid_s, scatters,
+                                            eval_fn=eval_sorted)
+    return R.sorted_group_reduce(starts, last, add, mins, maxs, f64s, cap)

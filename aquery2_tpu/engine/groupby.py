@@ -121,9 +121,9 @@ def _dense_group_kernel(codes: jax.Array, domain: int, n: int):
     num_groups = jnp.sum(presence.astype(jnp.int32))
     seg = jnp.where(valid, rank[jnp.clip(safe_codes, 0, domain)], num_groups)
     # unique codes in ascending order, compacted to the front
-    unique_codes = jnp.nonzero(
-        presence[:domain], size=domain, fill_value=domain
-    )[0].astype(jnp.int64)
+    from aquery2_tpu.ops.reduce import compact_indices
+    unique_codes = compact_indices(
+        presence[:domain], domain, fill=domain).astype(jnp.int64)
     return seg.astype(jnp.int32), num_groups, unique_codes
 
 
@@ -146,7 +146,8 @@ def _sort_group_kernel(keys: tuple[jax.Array, ...], n: int, nkeys: int):
     # scatter group ids back to original row order
     seg = jnp.zeros_like(gid_sorted).at[perm].set(gid_sorted)
     # representative (first) key values per group, in group-id order
-    starts = jnp.nonzero(diff, size=perm.shape[0], fill_value=perm.shape[0] - 1)[0]
+    from aquery2_tpu.ops.reduce import compact_indices
+    starts = compact_indices(diff, perm.shape[0], fill=perm.shape[0] - 1)
     reps = [k[starts] for k in sorted_keys]
     return seg.astype(jnp.int32), num_groups, reps
 

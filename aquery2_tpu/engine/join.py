@@ -46,8 +46,11 @@ def _probe_counts(lkeys: tuple, rkeys: tuple, ln, rn):
     rh = _order_preserving_i64(_key_hash(list(rkeys), rn))
     perm_r = sort_perm([(rh, True)], rn)
     rh_sorted = rh[perm_r]
-    lo = jnp.searchsorted(rh_sorted, lh, side="left")
-    hi = jnp.searchsorted(rh_sorted, lh, side="right")
+    # method="sort": batched search via one big sort — the default "scan"
+    # method is a 2·log(m)-step serialized gather loop on TPU (~40× slower
+    # at 16M probes)
+    lo = jnp.searchsorted(rh_sorted, lh, side="left", method="sort")
+    hi = jnp.searchsorted(rh_sorted, lh, side="right", method="sort")
     idx = jnp.arange(lh.shape[0], dtype=jnp.int32)
     counts = jnp.where(idx < ln, (hi - lo).astype(jnp.int64), 0)
     total = jnp.sum(counts)

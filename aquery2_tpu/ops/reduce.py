@@ -1,0 +1,319 @@
+"""Tiered segment reduction + stream compaction primitives.
+
+TPU-native replacement for the reference's scatter-style aggregation loops
+(server/aggregations.h, server/hasher.h AQHashTable/PerfectHashTable):
+row→group reductions are the heart of every GROUP BY.
+
+Measured on TPU v5e at 4-16M rows: an XLA int32 scatter-add costs
+~9 ns/row regardless of destination size, an int64 scatter ~130 ns/row
+(decomposed into u32 pairs — avoid!), a gather ~9 ns/element, a sort
+~3-6 ns/row (payload operands ride along almost free), a cumsum
+~0.5 ns/row, and `jnp.nonzero` ~90 ns/row. The tiers follow:
+
+  * small domains (≤ ``config.ONEHOT_MATMUL_MAX_GROUPS``): one-hot
+    matmul on the MXU — rows stream through a `lax.scan` in chunks;
+    every additive lane is decomposed into balanced base-128 digits so
+    the bf16 matmul is EXACT (a digit ∈ [-64,64] is exact in bf16,
+    per-chunk dot products stay < 2^19 < 2^24 inside the MXU's f32
+    accumulator). All lanes share one matmul (the 128-wide MXU
+    dimension is free). ~25× faster than scatter for ≤ 100 groups.
+  * large domains: sort rows by group code carrying the lanes as
+    payload operands (`sorted_group_reduce`), then per-lane int64
+    cumsum + boundary gathers — no scatter wider than 32 bits, no
+    random gather of row data.
+
+Stream compaction (`compact_indices`) replaces `jnp.nonzero`, which is
+~13× slower than its own building blocks (cumsum + scatter) at 16M rows.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from aquery2_tpu import config
+
+_DIGIT_BITS = 7           # balanced base-128 digits: exact in bf16
+_DIGIT_BASE = 1 << _DIGIT_BITS
+_CHUNK = 8192             # rows per scan step (per-chunk sums < 2^19)
+
+
+def compact_indices(mask: jax.Array, out_cap: int,
+                    fill: int | None = None) -> jax.Array:
+    """Indices of True entries, compacted to the front; `fill` beyond.
+
+    Drop-in for ``jnp.nonzero(mask, size=out_cap, fill_value=fill)[0]``
+    built from cumsum + one int32 scatter (13× faster at 16M rows)."""
+    n = mask.shape[0]
+    if fill is None:
+        fill = n
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    tgt = jnp.where(mask, pos, out_cap)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    return (jnp.full((out_cap + 1,), fill, jnp.int32)
+            .at[tgt].set(idx, mode="drop")[:out_cap])
+
+
+# --------------------------------------------------------------------- #
+# digit decomposition (exact bf16-matmul payloads)
+# --------------------------------------------------------------------- #
+
+def _ndigits_for(tag: str, dt) -> int:
+    """Digits needed per lane; static per (tag, dtype)."""
+    dt = jnp.dtype(dt)
+    if dt == jnp.bool_:
+        return 1
+    if dt.kind == "f":
+        # float-sum limb lanes (fused_groupby._build_lanes): the fine
+        # limb "#B" is bounded by 2^23; the coarse "#A" covers |v|·2^14
+        return 4 if tag.endswith("#B") else 8
+    if dt.itemsize <= 4:
+        return 5                                  # 5 × 7 ≥ 32 bits
+    return 10                                     # products et al.
+
+
+def _digits_int(r: jax.Array, nd: int) -> list[jax.Array]:
+    """Base-128 digits of an integer array on a uniform 128^j weight
+    grid, native-width ops only.
+
+    int64 inputs are pre-split into two unsigned 21-bit parts plus a
+    signed 22-bit top (int64 arithmetic is emulated on TPU — two orders
+    of magnitude slower per op); 21 = 3 × 7 keeps every digit on the
+    same weight grid. Non-negative parts use plain digits ∈ [0,127],
+    the signed top (and signed int32 lanes) balanced digits ∈ [-64,64];
+    both are exact in bf16 and keep chunk dot products < 2^20."""
+    if r.dtype.itemsize > 4 and nd > 5:
+        m21 = jnp.int64((1 << 21) - 1)
+        lo = (r & m21).astype(jnp.int32)                  # bits 0..20
+        mid = ((r >> 21) & m21).astype(jnp.int32)         # bits 21..41
+        hi = (r >> 42).astype(jnp.int32)                  # bits 42.. signed
+        return (_digits_uint32(lo, 3) + _digits_uint32(mid, 3)
+                + _digits_int32(hi, nd - 6))
+    return _digits_int32(r.astype(jnp.int32), nd)
+
+
+def _digits_uint32(r: jax.Array, nd: int) -> list[jax.Array]:
+    """Digits ∈ [0,127] of a non-negative int32 < 2^(7·nd)."""
+    out = []
+    for _ in range(nd):
+        out.append((r & (_DIGIT_BASE - 1)).astype(jnp.bfloat16))
+        r = r >> _DIGIT_BITS
+    return out
+
+
+def _digits_int32(r: jax.Array, nd: int) -> list[jax.Array]:
+    """Balanced digits ∈ [-64,64) of a signed int32 array."""
+    half = _DIGIT_BASE // 2
+    out = []
+    for _ in range(nd):
+        d = ((r + half) % _DIGIT_BASE) - half
+        r = (r - d) // _DIGIT_BASE
+        out.append(d.astype(jnp.bfloat16))
+    return out
+
+
+def _digits_f32(a: jax.Array, nd: int) -> list[jax.Array]:
+    """Balanced base-128 digits of an integer-valued float32 array.
+
+    All ops are exact: x/128 is an exponent shift, round() of an
+    integer-valued quotient ≥ 2^24 is the identity, and the subtraction
+    cancels exactly (both operands within a factor of 2)."""
+    out = []
+    r = a
+    for _ in range(nd):
+        q = jnp.round(r * jnp.float32(1.0 / _DIGIT_BASE))
+        d = r - q * jnp.float32(_DIGIT_BASE)
+        r = q
+        out.append(d.astype(jnp.bfloat16))
+    return out
+
+
+def _lane_digits(tag: str, v: jax.Array) -> list[jax.Array]:
+    nd = _ndigits_for(tag, v.dtype)
+    if v.dtype == jnp.bool_:
+        return [v.astype(jnp.bfloat16)]
+    if jnp.dtype(v.dtype).kind == "f":
+        return _digits_f32(v.astype(jnp.float32), nd)
+    return _digits_int(v, nd)
+
+
+# --------------------------------------------------------------------- #
+# tier 1: one-hot matmul (MXU) for small domains
+# --------------------------------------------------------------------- #
+
+def _mxu_reduce(code, add_lanes, min_lanes, max_lanes, domain):
+    add_tags = list(add_lanes)
+    min_tags = list(min_lanes)
+    max_tags = list(max_lanes)
+    dp = domain + 1
+    n = int(code.shape[0])
+    nc = n // _CHUNK
+    nd_per = [
+        _ndigits_for(t, add_lanes[t].dtype) for t in add_tags]
+    nlanes = sum(nd_per)
+
+    code2 = code.reshape(nc, _CHUNK)
+    adds2 = [add_lanes[t].reshape(nc, _CHUNK) for t in add_tags]
+    mins2 = [min_lanes[t].reshape(nc, _CHUNK) for t in min_tags]
+    maxs2 = [max_lanes[t].reshape(nc, _CHUNK) for t in max_tags]
+
+    # int32 carry when worst-case digit totals fit, else int64
+    acc_dtype = (jnp.int32 if (_DIGIT_BASE // 2) * n < 2**31 else jnp.int64)
+
+    def step(carry, xs):
+        acc, macc, xacc = carry
+        cc, aa, mm, xx = xs
+        oh_b = (cc[:, None]
+                == jax.lax.broadcasted_iota(jnp.int32, (1, dp), 1))
+        new_macc = [
+            jnp.minimum(prev, jnp.min(
+                jnp.where(oh_b, v[:, None], prev[None, :]), axis=0))
+            for prev, v in zip(macc, mm)
+        ]
+        new_xacc = [
+            jnp.maximum(prev, jnp.max(
+                jnp.where(oh_b, v[:, None], prev[None, :]), axis=0))
+            for prev, v in zip(xacc, xx)
+        ]
+        if nlanes:
+            oh = oh_b.astype(jnp.bfloat16)
+            digs = []
+            for t, a in zip(add_tags, aa):
+                digs.extend(_lane_digits(t, a))
+            pay = jnp.stack(digs, axis=1)                  # [C, L] bf16
+            part = jax.lax.dot_general(
+                oh, pay, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [dp, L] exact
+            acc = acc + part.astype(acc_dtype)
+        return (acc, new_macc, new_xacc), None
+
+    init = (
+        jnp.zeros((dp, nlanes), acc_dtype),
+        [jnp.full((dp,), _big_of(min_lanes[t].dtype),
+                  min_lanes[t].dtype) for t in min_tags],
+        [jnp.full((dp,), _small_of(max_lanes[t].dtype),
+                  max_lanes[t].dtype) for t in max_tags],
+    )
+    (acc, macc, xacc), _ = jax.lax.scan(
+        step, init, (code2, adds2, mins2, maxs2))
+
+    outs = {}
+    off = 0
+    for t, nd in zip(add_tags, nd_per):
+        cols = acc[:, off:off + nd].astype(jnp.int64)
+        off += nd
+        total = jnp.zeros((dp,), jnp.int64)
+        for j in range(nd):
+            total = total + (cols[:, j] << (_DIGIT_BITS * j))
+        outs[t] = total
+    for t, arr in zip(min_tags, macc):
+        outs[t] = arr
+    for t, arr in zip(max_tags, xacc):
+        outs[t] = arr
+    return outs
+
+
+def segment_reduce(code: jax.Array, add_lanes: dict[str, jax.Array],
+                   min_lanes: dict[str, jax.Array],
+                   max_lanes: dict[str, jax.Array],
+                   f64_lanes: dict[str, jax.Array],
+                   domain: int) -> dict[str, jax.Array]:
+    """Reduce rows into ``domain + 1`` dense slots (slot ``domain`` is
+    the overflow/invalid slot; lane arrays are [n], ``code`` int32 [n]
+    with invalid rows carrying ``domain``).
+
+    add_lanes: integer or integer-valued-float lanes, summed exactly
+    into int64. min_/max_lanes: any dtype, pre-masked with ±sentinels.
+    f64_lanes: float64 sums. Returns tag → [domain + 1] arrays."""
+    outs: dict[str, jax.Array] = {}
+    n = int(code.shape[0])
+    dp = domain + 1
+
+    use_mxu = (dp <= config.ONEHOT_MATMUL_MAX_GROUPS and n >= _CHUNK
+               and n % _CHUNK == 0 and (add_lanes or min_lanes or max_lanes))
+    if use_mxu:
+        outs.update(_mxu_reduce(code, add_lanes, min_lanes, max_lanes,
+                                domain))
+    else:
+        for t, col in add_lanes.items():
+            outs[t] = (jnp.zeros((dp,), jnp.int64)
+                       .at[code].add(col.astype(jnp.int64)))
+        for t, col in min_lanes.items():
+            outs[t] = (jnp.full((dp,), _big_of(col.dtype), col.dtype)
+                       .at[code].min(col))
+        for t, col in max_lanes.items():
+            outs[t] = (jnp.full((dp,), _small_of(col.dtype), col.dtype)
+                       .at[code].max(col))
+
+    for t, col in f64_lanes.items():
+        outs[t] = jnp.zeros((dp,), jnp.float64).at[code].add(col)
+    return outs
+
+
+# --------------------------------------------------------------------- #
+# tier 2: sorted-run reduction for large domains
+# --------------------------------------------------------------------- #
+
+def _segmented_extreme(starts: jax.Array, v: jax.Array, is_min: bool):
+    """Per-row running min/max that resets at segment starts; the value
+    at each segment's last row is the segment extreme. Hillis-Steele
+    distance-masked doubling via ops.scan.seg_scan (a tuple
+    `associative_scan` is catastrophically slow on TPU — see there)."""
+    from aquery2_tpu.ops.scan import seg_scan
+
+    return seg_scan(v, starts, jnp.minimum if is_min else jnp.maximum)
+
+
+def sorted_group_reduce(starts, last, add_lanes, min_lanes, max_lanes,
+                        f64_lanes, gcap):
+    """Group reduction over rows ALREADY sorted by group key.
+
+    starts: [n] bool, True at each group's first row (row 0 True).
+    last: [n] bool, True at each VALID group's last row (invalid rows
+    must sort to the back — sentinel keys — so they never set `last`).
+    Lanes are [n] arrays in sorted row order (carry them through
+    `lax.sort` as payload operands; a random gather costs as much as
+    the whole sort).
+
+    Returns (outs: tag → [gcap] per-group values in sorted-key order;
+    ends_idx [gcap] row index of each group's last row; ng scalar group
+    count). Slots ≥ ng hold garbage — callers slice by the
+    materialized group count."""
+    n = int(starts.shape[0])
+    ng = jnp.sum(last, dtype=jnp.int32)
+    ends_idx = compact_indices(last, gcap, fill=n - 1)
+
+    outs: dict[str, jax.Array] = {}
+    for t, col in add_lanes.items():
+        cs = jnp.cumsum(col.astype(jnp.int64))
+        ends_v = cs[ends_idx]
+        prev = jnp.concatenate([jnp.zeros((1,), jnp.int64), ends_v[:-1]])
+        outs[t] = ends_v - prev
+    for t, col in min_lanes.items():
+        outs[t] = _segmented_extreme(starts, col, True)[ends_idx]
+    for t, col in max_lanes.items():
+        outs[t] = _segmented_extreme(starts, col, False)[ends_idx]
+    for t, col in f64_lanes.items():
+        cs = jnp.cumsum(col.astype(jnp.float64))
+        ends_v = cs[ends_idx]
+        prev = jnp.concatenate([jnp.zeros((1,), jnp.float64), ends_v[:-1]])
+        outs[t] = ends_v - prev
+    return outs, ends_idx, ng
+
+
+def _big_of(dt):
+    dt = jnp.dtype(dt)
+    if dt.kind == "f":
+        return jnp.inf
+    if dt == jnp.bool_:
+        return True
+    return jnp.iinfo(dt).max
+
+
+def _small_of(dt):
+    dt = jnp.dtype(dt)
+    if dt.kind == "f":
+        return -jnp.inf
+    if dt == jnp.bool_:
+        return False
+    return jnp.iinfo(dt).min

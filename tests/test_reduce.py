@@ -1,0 +1,91 @@
+"""ops.reduce: tiered segment reduction + compaction.
+
+Covers both tiers (one-hot MXU matmul for small domains, per-lane
+scatter otherwise) with exactness checks against numpy int64 — the MXU
+tier's balanced base-128 digit decomposition must be bit-exact, not
+approximately right (reference accumulates in int64/double:
+server/aggregations.h:10-86).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from aquery2_tpu.ops import reduce as R
+
+
+def _np_segsum(code, col, dp):
+    return np.bincount(code, weights=col.astype(np.float64),
+                       minlength=dp).astype(np.int64)
+
+
+@pytest.mark.parametrize("n,domain", [
+    (8192, 16),            # MXU tier (n % 8192 == 0, dp small)
+    (16384, 100),          # MXU tier, multi-chunk
+    (16384, 5000),         # scatter tier (dp > threshold)
+    (1000, 16),            # scatter tier (n not chunk-aligned)
+])
+def test_segment_reduce_sums_exact(n, domain):
+    rng = np.random.default_rng(0)
+    code = rng.integers(0, domain, size=n).astype(np.int32)
+    valid = rng.random(n) < 0.9
+    code = np.where(valid, code, domain).astype(np.int32)
+    big = rng.integers(-(2**40), 2**40, size=n)        # needs >32-bit digits
+    small = rng.integers(0, 100, size=n)
+    vf = rng.random(n).astype(np.float32) * 100
+
+    add = {
+        "__counts__": jnp.asarray(valid.astype(np.int64)),
+        "big": jnp.asarray(np.where(valid, big, 0)),
+        "small": jnp.asarray(np.where(valid, small, 0)),
+    }
+    mins = {"m": jnp.asarray(np.where(valid, vf, np.inf).astype(np.float32))}
+    maxs = {"x": jnp.asarray(np.where(valid, vf, -np.inf).astype(np.float32))}
+    outs = R.segment_reduce(jnp.asarray(code), add, mins, maxs, {}, domain)
+
+    dp = domain + 1
+    for tag, colv in (("__counts__", valid.astype(np.int64)),
+                      ("big", np.where(valid, big, 0)),
+                      ("small", np.where(valid, small, 0))):
+        exp = np.bincount(code, weights=colv.astype(np.float64), minlength=dp)
+        got = np.asarray(outs[tag])[:dp]
+        np.testing.assert_array_equal(got, exp.astype(np.int64), err_msg=tag)
+
+    expected_min = np.full(dp, np.inf, np.float32)
+    expected_max = np.full(dp, -np.inf, np.float32)
+    for c, ok, v in zip(code, valid, vf):
+        if ok:
+            expected_min[c] = min(expected_min[c], v)
+            expected_max[c] = max(expected_max[c], v)
+    np.testing.assert_array_equal(np.asarray(outs["m"])[:dp], expected_min)
+    np.testing.assert_array_equal(np.asarray(outs["x"])[:dp], expected_max)
+
+
+def test_segment_reduce_f64_lanes():
+    n, domain = 4096, 7
+    rng = np.random.default_rng(1)
+    code = rng.integers(0, domain, size=n).astype(np.int32)
+    v = rng.random(n)
+    outs = R.segment_reduce(jnp.asarray(code), {}, {}, {},
+                            {"s": jnp.asarray(v)}, domain)
+    exp = np.bincount(code, weights=v, minlength=domain + 1)
+    np.testing.assert_allclose(np.asarray(outs["s"])[:domain + 1], exp,
+                               rtol=1e-12)
+
+
+@pytest.mark.parametrize("n,ntrue", [(1024, 100), (65536, 0), (4096, 4096)])
+def test_compact_indices(n, ntrue):
+    rng = np.random.default_rng(2)
+    mask = np.zeros(n, bool)
+    mask[rng.choice(n, size=ntrue, replace=False)] = True
+    out_cap = max(ntrue, 1)
+    got = np.asarray(R.compact_indices(jnp.asarray(mask), out_cap, fill=n))
+    exp = np.nonzero(mask)[0]
+    np.testing.assert_array_equal(got[:len(exp)], exp)
+    assert (got[len(exp):] == n).all()
+
+
+def test_compact_indices_matches_nonzero_semantics():
+    mask = jnp.asarray(np.array([0, 1, 1, 0, 1, 0, 0, 1], bool))
+    got = np.asarray(R.compact_indices(mask, 8, fill=99))
+    np.testing.assert_array_equal(got, [1, 2, 4, 7, 99, 99, 99, 99])
