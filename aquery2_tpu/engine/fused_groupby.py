@@ -483,9 +483,9 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
         domain *= key_ranges[-1]
     if packable and domain <= config.ONEHOT_MATMUL_MAX_GROUPS:
         strategy = "dense"
-    elif packable and domain <= 2**62:
-        strategy = "packed"
-    else:
+    elif packable:
+        strategy = "packed"       # bit-packed words; falls back to
+    else:                         # multikey inside if a key needs >30 bits
         strategy = "multikey"
 
     scatters = _needed_scatters(p["aggs"])
@@ -697,18 +697,46 @@ def _finish(session, p, cols, results, g):
     return out
 
 
+_WORD_BITS = 30          # data bits per packed int32 word (bit 30 = sentinel)
+
+
+def _plan_words(key_ranges):
+    """Assign each key a (word, shift, bits) bit-field, declared order,
+    most-significant first, never straddling a word — so lexicographic
+    order of the word tuple == lexicographic order of the keys.
+    Returns (fields, nwords) or None if some key needs > 30 bits."""
+    bits = [max(1, (r - 1).bit_length()) for r in key_ranges]
+    if any(b > _WORD_BITS for b in bits):
+        return None
+    words: list[list[int]] = [[]]
+    for ki, b in enumerate(bits):
+        if sum(bits[i] for i in words[-1]) + b > _WORD_BITS:
+            words.append([])
+        words[-1].append(ki)
+    fields = {}
+    for wi, kis in enumerate(words):
+        used = sum(bits[ki] for ki in kis)
+        shift = used
+        for ki in kis:
+            shift -= bits[ki]
+            fields[ki] = (wi, shift, bits[ki])
+    return fields, len(words)
+
+
 def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
                      n, key_mins, key_ranges):
     """Packed-code sort group-by: one jitted program —
 
-        pack keys into ONE int32/int64 code (perfect-hash packing from
-        column stats, reference hasher.h:209-322) → single-key sort
-        carrying reduction lanes as payload → cumsum + boundary-gather
-        segment reduction → keys decoded arithmetically per group.
+        pack keys into bit-fields of one-or-more int32 words (perfect-
+        hash packing from column stats, reference hasher.h:209-322) →
+        sort on the word tuple carrying reduction lanes as payload →
+        cumsum + boundary-gather segment reduction → keys decoded by
+        shift/mask per group. Everything stays int32: int64 arithmetic
+        is emulated on TPU (a 64-bit divide is ~50 native ops/element).
 
     This is the workhorse tier: a sort costs ~3-6 ns/row on v5e while a
     64-bit scatter costs ~130 — so sort once, never scatter row data.
-    Group order is code-ascending (= key-lexicographic)."""
+    Group order is word-ascending (= key-lexicographic)."""
     from aquery2_tpu.ops import reduce as R
 
     cols = table.columns
@@ -716,16 +744,19 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
     scatters = _needed_scatters(p["aggs"])
     cap = int(arrays[0].shape[0])
 
-    strides = []
-    s = 1
-    for r in reversed(key_ranges):
-        strides.append(s)
-        s *= r
-    strides.reverse()
-    domain = s
-    code_dtype = jnp.int32 if domain < 2**31 - 1 else jnp.int64
+    plan_w = _plan_words(key_ranges)
+    if plan_w is None:
+        # a single key wider than 30 bits: arithmetic int64 packing would
+        # need emulated div/mod decode; the multi-key sort handles it
+        return _run_sort(session, sel, table, p, col_order, arrays,
+                         fingerprint, n)
+    fields, nwords = plan_w
+    domain = 1
+    for r in key_ranges:
+        domain *= r
     gcap = config.bucket_size(min(domain, cap))
     key_dtypes = [cols[kn].data.dtype for kn in key_names]
+    sentinel = jnp.int32(1 << _WORD_BITS)
 
     entry = _cache.get(fingerprint)
     if entry is None:
@@ -738,36 +769,43 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
                 if w.dtype != jnp.bool_:
                     w = w != 0
                 valid = valid & w
-            code = None
-            for kn, mn, st in zip(key_names, key_mins, strides):
-                part = ((env[kn].astype(code_dtype) - code_dtype(mn))
-                        * code_dtype(st))
-                code = part if code is None else code + part
-            code = jnp.where(valid, code, code_dtype(domain))
+            wvals = [jnp.zeros((cap,), jnp.int32) for _ in range(nwords)]
+            for ki, kn in enumerate(key_names):
+                wi, shift, _b = fields[ki]
+                kv = (env[kn] - jnp.asarray(key_mins[ki], env[kn].dtype))
+                wvals[wi] = wvals[wi] | (kv.astype(jnp.int32) << shift)
+            wvals = [jnp.where(valid, wv, sentinel) for wv in wvals]
 
             lanes = _build_lanes(env, valid, scatters)
             payload, tag_groups = _lane_payload(lanes)
-            sorted_res = jax.lax.sort([code, *payload], num_keys=1,
+            sorted_res = jax.lax.sort([*wvals, *payload], num_keys=nwords,
                                       is_stable=False)
-            sc = sorted_res[0]
+            scw = sorted_res[:nwords]
             add_s, mins_s, maxs_s, f64s_s = _split_sorted_payload(
-                sorted_res, 1, tag_groups)
+                sorted_res, nwords, tag_groups)
 
-            dif = sc[1:] != sc[:-1]
+            dif = jnp.zeros((cap - 1,), jnp.bool_)
+            for sw in scw:
+                dif = dif | (sw[1:] != sw[:-1])
             starts = jnp.concatenate([jnp.ones((1,), jnp.bool_), dif])
-            valid_s = sc < domain
+            valid_s = scw[0] < sentinel
             last = jnp.concatenate([dif, jnp.ones((1,), jnp.bool_)]) & valid_s
             outs, ends_idx, ng = R.sorted_group_reduce(
-                starts, last, add_s, mins_s, maxs_s, f64s_s, gcap)
+                starts, last, add_s, mins_s, maxs_s, f64s_s, gcap,
+                counts_from_ends="__counts__")
             counts = outs["__counts__"]
-            codes_g = sc[ends_idx]
+            words_g = {wi: None for wi in range(nwords)}
             results = []
             for kindp, expr, alias in p["projections"]:
                 if kindp == "key":
                     ki = key_names.index(expr.name.lower())
-                    kv = ((codes_g.astype(jnp.int64) // strides[ki])
-                          % key_ranges[ki] + key_mins[ki])
-                    results.append(kv.astype(key_dtypes[ki]))
+                    wi, shift, b = fields[ki]
+                    if words_g[wi] is None:
+                        words_g[wi] = scw[wi][ends_idx]
+                    kdt = key_dtypes[ki]
+                    kv = ((words_g[wi] >> shift) & ((1 << b) - 1)
+                          ).astype(kdt) + jnp.asarray(key_mins[ki], kdt)
+                    results.append(kv)
                 else:
                     results.append(_post_agg_eval(expr, outs, counts, None))
             return results, ng

@@ -70,24 +70,54 @@ def try_run(session, sel: A.Select) -> Table | None:
 
     ln = lt_hit.nrows
     rn = rt_hit.nrows
+
+    # dense-histogram fast path: build-side key stats give a small value
+    # domain (reference PerfectHashTable stats gating, hasher.h:209-322)
+    # → one small scatter builds per-key multiplicities, one gather
+    # probes them. Otherwise sort-based searchsorted.
+    from aquery2_tpu import config
+
+    domain = None
+    rmn = rmx = 0
+    if rcol.data.dtype.kind in "iub":
+        rmn, rmx = (int(x) for x in rcol.stats())
+        d = rmx - rmn + 1
+        if 0 < d <= config.PERFECT_HASH_MAX_DOMAIN:
+            domain = d
+
     key = (lcol.data.shape[0], rcol.data.shape[0],
-           str(lcol.data.dtype), str(rcol.data.dtype))
+           str(lcol.data.dtype), str(rcol.data.dtype), domain, rmn)
     fn = _cache.get(key)
     if fn is None:
-        @jax.jit
-        def count_join(lk, rk, nl, nr):
-            li = jnp.arange(lk.shape[0], dtype=jnp.int32)
-            ri = jnp.arange(rk.shape[0], dtype=jnp.int32)
-            big = jnp.asarray(jnp.iinfo(rk.dtype).max, rk.dtype)
-            rk_s = jnp.sort(jnp.where(ri < nr, rk, big))
-            # method="sort": batched search via one big sort — the default
-            # "scan" method is a 2·log(m)-step serialized gather loop on
-            # TPU (~5 s at 16M probes; the sort form is ~40×, faster)
-            lkc = lk.astype(rk.dtype)
-            lo = jnp.searchsorted(rk_s, lkc, side="left", method="sort")
-            hi = jnp.searchsorted(rk_s, lkc, side="right", method="sort")
-            cnt = jnp.where(li < nl, (hi - lo).astype(jnp.int64), 0)
-            return jnp.sum(cnt, dtype=jnp.int64)
+        if domain is not None:
+            dom, base = domain, rmn
+
+            @jax.jit
+            def count_join(lk, rk, nl, nr):
+                ri = jnp.arange(rk.shape[0], dtype=jnp.int32)
+                rcode = jnp.where(ri < nr, (rk - base).astype(jnp.int32),
+                                  dom)
+                hist = jnp.zeros((dom + 1,), jnp.int32).at[rcode].add(1)
+                li = jnp.arange(lk.shape[0], dtype=jnp.int32)
+                inrange = (li < nl) & (lk >= base) & (lk <= base + (dom - 1))
+                lcode = jnp.clip((lk - base).astype(jnp.int32), 0, dom)
+                cnt = jnp.where(inrange, hist[lcode], 0)
+                return jnp.sum(cnt, dtype=jnp.int64)
+        else:
+            @jax.jit
+            def count_join(lk, rk, nl, nr):
+                li = jnp.arange(lk.shape[0], dtype=jnp.int32)
+                ri = jnp.arange(rk.shape[0], dtype=jnp.int32)
+                big = jnp.asarray(jnp.iinfo(rk.dtype).max, rk.dtype)
+                rk_s = jnp.sort(jnp.where(ri < nr, rk, big))
+                # method="sort": batched search via one big sort — the
+                # default "scan" method is a 2·log(m)-step serialized
+                # gather loop on TPU (~5 s at 16M probes)
+                lkc = lk.astype(rk.dtype)
+                lo = jnp.searchsorted(rk_s, lkc, side="left", method="sort")
+                hi = jnp.searchsorted(rk_s, lkc, side="right", method="sort")
+                cnt = jnp.where(li < nl, (hi - lo).astype(jnp.int64), 0)
+                return jnp.sum(cnt, dtype=jnp.int64)
 
         fn = count_join
         _cache[key] = fn

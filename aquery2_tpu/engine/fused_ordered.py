@@ -492,4 +492,5 @@ def _sorted_reduce(eval_sorted, valid_s, starts, last, cap, scatters):
 
     add, mins, maxs, f64s = fg._build_lanes({}, valid_s, scatters,
                                             eval_fn=eval_sorted)
-    return R.sorted_group_reduce(starts, last, add, mins, maxs, f64s, cap)
+    return R.sorted_group_reduce(starts, last, add, mins, maxs, f64s, cap,
+                                 counts_from_ends="__counts__")

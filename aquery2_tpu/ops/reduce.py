@@ -265,7 +265,7 @@ def _segmented_extreme(starts: jax.Array, v: jax.Array, is_min: bool):
 
 
 def sorted_group_reduce(starts, last, add_lanes, min_lanes, max_lanes,
-                        f64_lanes, gcap):
+                        f64_lanes, gcap, counts_from_ends: str | None = None):
     """Group reduction over rows ALREADY sorted by group key.
 
     starts: [n] bool, True at each group's first row (row 0 True).
@@ -284,6 +284,16 @@ def sorted_group_reduce(starts, last, add_lanes, min_lanes, max_lanes,
     ends_idx = compact_indices(last, gcap, fill=n - 1)
 
     outs: dict[str, jax.Array] = {}
+    add_lanes = dict(add_lanes)
+    if counts_from_ends is not None and counts_from_ends in add_lanes:
+        # when invalid rows are GUARANTEED to sort behind every valid
+        # group (sentinel keys), every row inside a group is valid, so
+        # group sizes are just boundary-index differences — saves one
+        # cumsum + one boundary gather on every query
+        del add_lanes[counts_from_ends]
+        prev_e = jnp.concatenate(
+            [jnp.full((1,), -1, jnp.int32), ends_idx[:-1]])
+        outs[counts_from_ends] = ends_idx - prev_e
     for t, col in add_lanes.items():
         cs = jnp.cumsum(col.astype(jnp.int64))
         ends_v = cs[ends_idx]
