@@ -777,6 +777,7 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
             wvals = [jnp.where(valid, wv, sentinel) for wv in wvals]
 
             lanes = _build_lanes(env, valid, scatters)
+            lanes[0].pop("__counts__")      # counts come from boundary idx
             payload, tag_groups = _lane_payload(lanes)
             sorted_res = jax.lax.sort([*wvals, *payload], num_keys=nwords,
                                       is_stable=False)

@@ -461,12 +461,13 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
             vals, mask = rv[1], rv[2]
             perm2, cnt = filter_ops.compact_indices(mask)
             m = int(cnt)
-            # per-group kept counts from the mask + group offsets
+            # per-group kept counts from the mask + group offsets:
+            # cumulative mask sampled at group boundaries (vectorized —
+            # a Python loop over 1M groups costs seconds)
             mask_h = np.asarray(mask)
+            mc = np.concatenate([[0], np.cumsum(mask_h, dtype=np.int64)])
             kept = np.zeros(g + 1, dtype=np.int64)
-            for gi in range(g):
-                kept[gi + 1] = kept[gi] + int(
-                    mask_h[offsets[gi]: offsets[gi + 1]].sum())
+            kept[1:] = mc[np.minimum(offsets[1:], len(mask_h))]
             vals_c = vals[perm2][: max(m, 1)]
             st = T.from_np_dtype(np.dtype(vals.dtype))
             out.columns[name] = VectorColumn(

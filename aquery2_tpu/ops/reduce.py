@@ -285,12 +285,13 @@ def sorted_group_reduce(starts, last, add_lanes, min_lanes, max_lanes,
 
     outs: dict[str, jax.Array] = {}
     add_lanes = dict(add_lanes)
-    if counts_from_ends is not None and counts_from_ends in add_lanes:
+    if counts_from_ends is not None:
         # when invalid rows are GUARANTEED to sort behind every valid
         # group (sentinel keys), every row inside a group is valid, so
         # group sizes are just boundary-index differences — saves one
-        # cumsum + one boundary gather on every query
-        del add_lanes[counts_from_ends]
+        # cumsum + one boundary gather on every query (callers may also
+        # drop the counts lane from the sort payload entirely)
+        add_lanes.pop(counts_from_ends, None)
         prev_e = jnp.concatenate(
             [jnp.full((1,), -1, jnp.int32), ends_idx[:-1]])
         outs[counts_from_ends] = ends_idx - prev_e
