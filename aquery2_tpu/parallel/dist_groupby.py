@@ -52,3 +52,99 @@ def dist_grouped_sums(mesh: Mesh, axis: str, codes: jax.Array,
 def local_dense_sum(codes: jax.Array, vals: jax.Array, domain: int) -> jax.Array:
     """Single-chip building block (also used by the bench)."""
     return jnp.zeros((domain + 1,), vals.dtype).at[codes].add(vals)[:domain]
+
+
+def dist_grouped_sums_shuffle(mesh: Mesh, axis: str, codes: jax.Array,
+                              vals: list[jax.Array], valid: jax.Array,
+                              bucket_cap: int, gcap: int):
+    """Shuffle-based distributed group-by — the multi-chip form of the
+    packed-sort tier (engine/fused_groupby._run_sort_packed) for domains
+    too large to replicate dense accumulators:
+
+      1. each shard radix-partitions its rows by hash(code) mod ndev and
+         exchanges fixed-capacity buckets over ICI (`all_to_all`)
+      2. equal codes now colocate: each shard runs the single-chip
+         sorted group reduction (ops/reduce.sorted_group_reduce)
+
+    Communication is one all_to_all of the rows — O(n/ndev) per chip —
+    after which groups never need a second exchange (contrast with the
+    dense psum path whose traffic is O(domain)).
+
+    codes: int32 packed group codes (row-sharded); vals: int lanes
+    (row-sharded); valid: row validity. Returns per-shard results
+    stacked along the axis: (codes_g [ndev·gcap], counts [ndev·gcap],
+    sums_i [ndev·gcap]..., ng [ndev]) — slots ≥ ng[d] in shard d's
+    block are garbage."""
+    from aquery2_tpu.ops import reduce as R
+
+    ndev = mesh.shape[axis]
+    sentinel = jnp.iinfo(jnp.int32).max
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), *([P(axis)] * len(vals)), P(axis)),
+        out_specs=(P(axis), P(axis), *([P(axis)] * len(vals)), P(axis)),
+    )
+    def step(c, *rest):
+        *vs, vld = rest
+        cb, pays_b, okb = _pack_buckets_multi(c, list(vs), vld, ndev,
+                                              bucket_cap)
+        c_r = jax.lax.all_to_all(cb, axis, 0, 0, tiled=False).reshape(-1)
+        ok_r = jax.lax.all_to_all(okb, axis, 0, 0, tiled=False).reshape(-1)
+        vs_r = [jax.lax.all_to_all(pb, axis, 0, 0, tiled=False).reshape(-1)
+                for pb in pays_b]
+
+        code = jnp.where(ok_r, c_r, sentinel)
+        lanes = {f"s{i}": jnp.where(ok_r, v, jnp.zeros((), v.dtype))
+                 for i, v in enumerate(vs_r)}
+        sorted_res = jax.lax.sort([code, *lanes.values()], num_keys=1,
+                                  is_stable=False)
+        sc = sorted_res[0]
+        add_s = dict(zip(lanes, sorted_res[1:]))
+        dif = sc[1:] != sc[:-1]
+        starts = jnp.concatenate([jnp.ones((1,), jnp.bool_), dif])
+        valid_s = sc < sentinel
+        last = jnp.concatenate([dif, jnp.ones((1,), jnp.bool_)]) & valid_s
+        add_s["__counts__"] = valid_s
+        outs, ends_idx, ng = R.sorted_group_reduce(
+            starts, last, add_s, {}, {}, {}, gcap,
+            counts_from_ends="__counts__")
+        codes_g = sc[ends_idx]
+        return (codes_g, outs["__counts__"].astype(jnp.int32),
+                *[outs[f"s{i}"] for i in range(len(vs_r))],
+                ng.reshape(1))
+
+    return step(codes, *vals, valid)
+
+
+def _pack_buckets_multi(key: jax.Array, payloads: list[jax.Array],
+                        valid: jax.Array, ndev: int, cap: int):
+    """dist_join._pack_buckets generalized to several payload lanes
+    (one argsort shared by all of them)."""
+    from aquery2_tpu.ops import hashing
+
+    dest = (hashing.hash64(key.astype(jnp.int64))
+            % jnp.uint64(ndev)).astype(jnp.int32)
+    dest = jnp.where(valid, dest, ndev)
+    order = jnp.argsort(dest, stable=True)
+    d_sorted = dest[order]
+    idx = jnp.arange(dest.shape[0], dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones((1,), bool),
+                             d_sorted[1:] != d_sorted[:-1]])
+    run_start = jax.lax.cummax(jnp.where(first, idx, 0))
+    within = idx - run_start
+    ok = (d_sorted < ndev) & (within < cap)
+    slot = (jnp.clip(d_sorted, 0, ndev - 1) * cap
+            + jnp.clip(within, 0, cap - 1))
+    slot = jnp.where(ok, slot, ndev * cap)
+
+    def scatter(x):
+        xs = x[order]
+        return (jnp.zeros((ndev * cap + 1,), x.dtype).at[slot].set(xs)
+                [:-1].reshape(ndev, cap))
+
+    keys_b = scatter(key)
+    pays_b = [scatter(p) for p in payloads]
+    okf = (jnp.zeros((ndev * cap + 1,), jnp.bool_).at[slot].set(ok)
+           [:-1].reshape(ndev, cap))
+    return keys_b, pays_b, okf

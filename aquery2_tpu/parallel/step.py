@@ -33,11 +33,17 @@ def distributed_query_step(mesh: Mesh, axis: str, codes, v1, v3, time_col,
     _, fsums = dist_groupby.dist_grouped_sums(
         mesh, axis, codes, [v3], jnp.zeros((mesh.shape[axis],), jnp.int32), domain)
 
+    # shuffle tier: all_to_all re-partition + shard-local sorted reduce
+    # (the multi-chip form of the packed-sort group-by)
+    _codes_g, sh_counts, _sh_sums, sh_ng = (
+        dist_groupby.dist_grouped_sums_shuffle(
+            mesh, axis, codes, [v1], valid, bucket_cap, bucket_cap))
+
     pairs = dist_join.dist_join_counts(mesh, axis, lkey, valid, rkey, valid,
                                        bucket_cap)
 
     running = dist_scan.dist_sums(mesh, axis, time_col)
-    return counts, sums, fsums, pairs, running
+    return counts, sums, fsums, pairs, running, sh_counts, sh_ng
 
 
 def make_example(mesh: Mesh, axis: str, rows_per_dev: int = 256,

@@ -63,3 +63,44 @@ def test_dist_join_counts(mesh, rng):
     rc = np.bincount(rk[rvalid], minlength=500)
     want = int((lc.astype(np.int64) * rc.astype(np.int64)).sum())
     assert got == want
+
+
+def test_dist_grouped_sums_shuffle(mesh, rng):
+    """Shuffle group-by: equal codes colocate; per-shard sorted reduce
+    matches a numpy oracle after reassembling all shards' groups."""
+    n = 8 * 256
+    domain = 3000                     # too big to want dense replication
+    codes_h = rng.integers(0, domain, n).astype(np.int32)
+    vals_h = rng.integers(-50, 100, n).astype(np.int32)
+    valid_h = np.ones(n, bool)
+    valid_h[-77:] = False
+
+    codes_g, counts, sums, ngs = dist_groupby.dist_grouped_sums_shuffle(
+        mesh, "shards",
+        shard_1d(mesh, jnp.asarray(codes_h)),
+        [shard_1d(mesh, jnp.asarray(vals_h))],
+        shard_1d(mesh, jnp.asarray(valid_h)),
+        bucket_cap=1024, gcap=1024)
+
+    codes_g = np.asarray(codes_g).reshape(8, -1)
+    counts = np.asarray(counts).reshape(8, -1)
+    sums = np.asarray(sums).reshape(8, -1)
+    ngs = np.asarray(ngs)
+
+    got_counts: dict[int, int] = {}
+    got_sums: dict[int, int] = {}
+    for d in range(8):
+        for gi in range(int(ngs[d])):
+            c = int(codes_g[d, gi])
+            assert c not in got_counts, "group split across shards"
+            got_counts[c] = int(counts[d, gi])
+            got_sums[c] = int(sums[d, gi])
+
+    want_counts = np.bincount(codes_h[valid_h], minlength=domain)
+    want_sums = np.zeros(domain, np.int64)
+    np.add.at(want_sums, codes_h[valid_h], vals_h[valid_h])
+    for c in range(domain):
+        if want_counts[c]:
+            assert got_counts.get(c) == want_counts[c], c
+            assert got_sums.get(c) == want_sums[c], c
+    assert sum(int(x) for x in ngs) == int((want_counts > 0).sum())
