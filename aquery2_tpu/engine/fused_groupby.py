@@ -39,7 +39,7 @@ from aquery2_tpu.storage.table import Column, StringDict, Table
 from aquery2_tpu.utils import CaseInsensitiveDict, base62uuid
 
 _SIMPLE_AGGS = {"sum", "avg", "mean", "min", "max", "count", "corr",
-                "var", "stddev"}
+                "var", "stddev", "median"}
 _MATH = {"sqrt": jnp.sqrt, "pow": jnp.power, "abs": jnp.abs,
          "exp": jnp.exp, "log": jnp.log, "floor": jnp.floor,
          "ceil": jnp.ceil, "round": jnp.round}
@@ -154,8 +154,14 @@ def plan(sel: A.Select, table: Table):
         if len(aggs) == before:
             raise Unsupported("projection without aggregate")
         projections.append(("agg", e, p.alias))
+    # median rides the packed sort as a secondary sort key — so only ONE
+    # distinct median argument fits in a single sorted layout
+    medians = {repr(a.args) for a in aggs if a.func == "median"}
+    if len(medians) > 1:
+        raise Unsupported("multiple distinct median args")
     return {"keys": keys, "projections": projections, "aggs": aggs,
             "where": sel.where, "limit": sel.limit,
+            "has_median": bool(medians),
             "into_table": sel.into_table, "into_outfile": sel.into_outfile,
             "outfile_sep": sel.outfile_sep}
 
@@ -318,8 +324,8 @@ def _build_lanes(env, valid, scatters, eval_fn=None):
         return v
 
     for fp, (kind, args) in scatters.items():
-        if kind == "count":
-            continue
+        if kind in ("count", "median"):
+            continue            # counts ride validity; median rides the sort
         if kind == "corr":
             x = rows(args[0])
             y = rows(args[1])
@@ -401,6 +407,8 @@ def _post_agg_eval(e: A.Expr, dense: dict[str, jax.Array], counts, keyvals):
             return dense[fp + ":min"]
         if kind == "max":
             return dense[fp + ":max"]
+        if kind == "median":
+            return dense[fp + ":median"]
         if kind in ("var", "stddev"):
             s = _gathered_sum(dense, fp + ":sum").astype(jnp.float64)
             ssq = _gathered_sum(dense, fp + ":ssq").astype(jnp.float64)
@@ -481,7 +489,11 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
         key_mins.append(int(mn))
         key_ranges.append(int(mx) - int(mn) + 1)
         domain *= key_ranges[-1]
-    if packable and domain <= config.ONEHOT_MATMUL_MAX_GROUPS:
+    if p["has_median"]:
+        if not packable or _plan_words(key_ranges) is None:
+            return None           # general path computes median
+        strategy = "packed"       # median needs the sorted layout
+    elif packable and domain <= config.ONEHOT_MATMUL_MAX_GROUPS:
         strategy = "dense"
     elif packable:
         strategy = "packed"       # bit-packed words; falls back to
@@ -776,14 +788,26 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
                 wvals[wi] = wvals[wi] | (kv.astype(jnp.int32) << shift)
             wvals = [jnp.where(valid, wv, sentinel) for wv in wvals]
 
+            # median argument becomes a SECONDARY sort key: within each
+            # group the sorted run is value-ascending, so the middles sit
+            # at computable offsets (reference sorts per group instead —
+            # the "x4" note that made it disable h2o q6)
+            med_fps = [fp for fp, (kind, _) in scatters.items()
+                       if kind == "median"]
+            med_keys = []
+            if med_fps:
+                med_keys = [_row_eval(scatters[med_fps[0]][1][0], env)]
+
             lanes = _build_lanes(env, valid, scatters)
             lanes[0].pop("__counts__")      # counts come from boundary idx
             payload, tag_groups = _lane_payload(lanes)
-            sorted_res = jax.lax.sort([*wvals, *payload], num_keys=nwords,
-                                      is_stable=False)
+            nk = nwords + len(med_keys)
+            sorted_res = jax.lax.sort([*wvals, *med_keys, *payload],
+                                      num_keys=nk, is_stable=False)
             scw = sorted_res[:nwords]
+            med_sorted = sorted_res[nwords:nk]
             add_s, mins_s, maxs_s, f64s_s = _split_sorted_payload(
-                sorted_res, nwords, tag_groups)
+                sorted_res, nk, tag_groups)
 
             dif = jnp.zeros((cap - 1,), jnp.bool_)
             for sw in scw:
@@ -795,6 +819,14 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
                 starts, last, add_s, mins_s, maxs_s, f64s_s, gcap,
                 counts_from_ends="__counts__")
             counts = outs["__counts__"]
+            if med_fps:
+                sv = med_sorted[0]
+                starts_g = ends_idx - (counts - 1)
+                lo_i = jnp.clip(starts_g + (counts - 1) // 2, 0, cap - 1)
+                hi_i = jnp.clip(starts_g + counts // 2, 0, cap - 1)
+                outs[med_fps[0] + ":median"] = (
+                    sv[lo_i].astype(jnp.float64)
+                    + sv[hi_i].astype(jnp.float64)) * 0.5
             words_g = {wi: None for wi in range(nwords)}
             results = []
             for kindp, expr, alias in p["projections"]:

@@ -182,6 +182,8 @@ def _collect_ordered_aggs(e: A.Expr, cols, out: list[A.Call]) -> None:
         return
     if isinstance(e, A.Call):
         if e.func in fg._SIMPLE_AGGS:
+            if e.func == "median":
+                raise Unsupported("median needs the packed-sort layout")
             for a in e.args:
                 if not isinstance(a, A.Star):
                     _check_ordered_row_expr(a, cols)

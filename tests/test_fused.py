@@ -182,3 +182,29 @@ def test_fused_join_count(db):
     r = db.execute("SELECT count(*) FROM source s, dim d WHERE s.id3 = d.id3")
     want = int(np.isin(d["id3"], dim_keys).sum())
     assert r.scalar() == want
+
+
+def test_fused_median_groupby(db):
+    import numpy as np
+
+    db.execute("CREATE TABLE mt(g INT, h INT, v DOUBLE)")
+    rng = np.random.default_rng(5)
+    g = rng.integers(1, 6, 200)
+    h = rng.integers(1, 4, 200)
+    v = np.round(rng.random(200) * 100, 3)
+    rows = ",".join(f"({a},{b},{c})" for a, b, c in zip(g, h, v))
+    db.execute(f"INSERT INTO mt VALUES {rows}")
+    r = db.execute("SELECT g, h, median(v) AS m, stddev(v) AS s "
+                   "FROM mt GROUP BY g, h")
+    got = {(int(a), int(b)): (m, s) for a, b, m, s in r.rows()}
+    for key in got:
+        sel = v[(g == key[0]) & (h == key[1])]
+        want = float(np.median(sel))
+        assert abs(got[key][0] - want) < 1e-6, key
+        n = len(sel)
+        sf = np.asarray(sel, dtype=np.float64)
+        denom = n + 1  # reference var quirk (strict mode)
+        wants = float(np.sqrt(max(
+            (np.sum(sf * sf) - np.sum(sf) ** 2 / denom) / denom, 0)))
+        # float sum lanes square in f32 (exact limb sums of f32 values)
+        assert abs(got[key][1] - wants) < 1e-4 * max(wants, 1), key
