@@ -116,7 +116,7 @@ def _collect_aggs(e: A.Expr, cols, out: list[A.Call]) -> None:
 def plan(sel: A.Select, table: Table):
     """Raise Unsupported, or return the fused plan dict."""
     if (not sel.group_by or sel.assumptions or sel.having or sel.distinct
-            or sel.unions or sel.order_by):
+            or sel.unions):
         raise Unsupported("clause mix")
     if len(sel.sources) != 1 or not isinstance(sel.sources[0], A.TableSource):
         raise Unsupported("joins")
@@ -159,9 +159,28 @@ def plan(sel: A.Select, table: Table):
     medians = {repr(a.args) for a in aggs if a.func == "median"}
     if len(medians) > 1:
         raise Unsupported("multiple distinct median args")
+
+    # ORDER BY applies to the (much smaller) grouped result — allowed when
+    # every order key IS an output column (alias or identical expression)
+    order_by: list[tuple[int, bool]] = []
+    for item in (sel.order_by or []):
+        e = item.expr
+        target = None
+        for i, pr in enumerate(sel.projections):
+            if not isinstance(pr.expr, A.Star) and pr.expr == e:
+                target = i
+                break
+            if (isinstance(e, A.ColumnRef) and e.table is None and pr.alias
+                    and pr.alias.lower() == e.name.lower()):
+                target = i
+                break
+        if target is None:
+            raise Unsupported("order key is not an output column")
+        order_by.append((target, item.ascending))
+
     return {"keys": keys, "projections": projections, "aggs": aggs,
             "where": sel.where, "limit": sel.limit,
-            "has_median": bool(medians),
+            "has_median": bool(medians), "order_by": order_by,
             "into_table": sel.into_table, "into_outfile": sel.into_outfile,
             "outfile_sep": sel.outfile_sep}
 
@@ -590,45 +609,7 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
     out_cap = config.bucket_size(max(g, 1))
     if out_cap < gcap:
         results = [r[:out_cap] for r in results]
-
-    # materialize output table
-    from aquery2_tpu.engine.executor import _derive_name
-
-    out = Table.__new__(Table)
-    out.name = f"result_{base62uuid(4)}"
-    out.columns = CaseInsensitiveDict()
-    out.sorted_by = ()
-    used: dict[str, int] = {}
-    for (kindp, expr, alias), arr in zip(p["projections"], results):
-        name = alias or _derive_name(expr)
-        lk = name.lower()
-        if lk in used:
-            used[lk] += 1
-            name = f"{name}_{used[lk]}"
-        else:
-            used[lk] = 0
-        if kindp == "key":
-            src = cols[expr.name]
-            out.columns[name] = Column(name, src.sqltype, arr,
-                                       nrows=g, dictionary=src.dictionary)
-        else:
-            st = (T.from_np_dtype(np.dtype(arr.dtype))
-                  if arr.dtype != jnp.bool_ else T.BoolT)
-            out.columns[name] = Column(name, st, arr, nrows=g)
-
-    if p["limit"] is not None:
-        from aquery2_tpu.engine.executor import _limit_table
-
-        out = _limit_table(out, p["limit"])
-    if p["into_table"]:
-        out.name = p["into_table"]
-        session.catalog.create(out, replace=True)
-    if p["into_outfile"]:
-        from aquery2_tpu.storage.result import Result
-
-        Result(out).to_csv(session.resolve_path(p["into_outfile"]),
-                           sep=p["outfile_sep"], header=False)
-    return out
+    return _finish(session, p, cols, results, g)
 
 
 # --------------------------------------------------------------------- #
@@ -695,6 +676,16 @@ def _finish(session, p, cols, results, g):
             st = (T.from_np_dtype(np.dtype(arr.dtype))
                   if arr.dtype != jnp.bool_ else T.BoolT)
             out.columns[name] = Column(name, st, arr, nrows=g)
+
+    if p.get("order_by") and g:
+        from aquery2_tpu.engine.executor import _sort_key_of, _take_table
+        from aquery2_tpu.ops.sort import sort_perm
+
+        names = out.column_names()
+        skeys = [(jnp.asarray(_sort_key_of(out.columns[names[pi]], g)), asc)
+                 for pi, asc in p["order_by"]]
+        perm = np.asarray(sort_perm(skeys, g))[:g]
+        out = _take_table(out, perm)
 
     if p["limit"] is not None:
         out = _limit_table(out, p["limit"])

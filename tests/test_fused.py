@@ -208,3 +208,16 @@ def test_fused_median_groupby(db):
             (np.sum(sf * sf) - np.sum(sf) ** 2 / denom) / denom, 0)))
         # float sum lanes square in f32 (exact limb sums of f32 values)
         assert abs(got[key][1] - wants) < 1e-4 * max(wants, 1), key
+
+
+def test_fused_groupby_order_by(db):
+    db.execute("CREATE TABLE ot(g INT, v INT)")
+    db.execute("INSERT INTO ot VALUES (3,1),(1,10),(1,5),(2,2),(2,9),(3,4)")
+    r = db.execute("SELECT g, sum(v) AS s FROM ot GROUP BY g ORDER BY s DESC")
+    assert r.rows() == [(1, 15), (2, 11), (3, 5)]
+    r = db.execute("SELECT g, sum(v) AS s FROM ot GROUP BY g "
+                   "ORDER BY sum(v)")
+    assert r.rows() == [(3, 5), (2, 11), (1, 15)]
+    r = db.execute("SELECT g, sum(v) AS s FROM ot GROUP BY g "
+                   "ORDER BY s DESC LIMIT 2")
+    assert r.rows() == [(1, 15), (2, 11)]
