@@ -115,7 +115,7 @@ def _collect_aggs(e: A.Expr, cols, out: list[A.Call]) -> None:
 
 def plan(sel: A.Select, table: Table):
     """Raise Unsupported, or return the fused plan dict."""
-    if (not sel.group_by or sel.assumptions or sel.having or sel.distinct
+    if (not sel.group_by or sel.assumptions or sel.distinct
             or sel.unions):
         raise Unsupported("clause mix")
     if len(sel.sources) != 1 or not isinstance(sel.sources[0], A.TableSource):
@@ -154,6 +154,11 @@ def plan(sel: A.Select, table: Table):
         if len(aggs) == before:
             raise Unsupported("projection without aggregate")
         projections.append(("agg", e, p.alias))
+
+    # HAVING is just one more post-aggregate expression: its aggregates
+    # join the shared reduction, the boolean filters the grouped result
+    if sel.having is not None:
+        _collect_aggs(sel.having, cols, aggs)
     # median rides the packed sort as a secondary sort key — so only ONE
     # distinct median argument fits in a single sorted layout
     medians = {repr(a.args) for a in aggs if a.func == "median"}
@@ -179,7 +184,7 @@ def plan(sel: A.Select, table: Table):
         order_by.append((target, item.ascending))
 
     return {"keys": keys, "projections": projections, "aggs": aggs,
-            "where": sel.where, "limit": sel.limit,
+            "where": sel.where, "limit": sel.limit, "having": sel.having,
             "has_median": bool(medians), "order_by": order_by,
             "into_table": sel.into_table, "into_outfile": sel.into_outfile,
             "outfile_sep": sel.outfile_sep}
@@ -462,10 +467,14 @@ def _post_agg_eval(e: A.Expr, dense: dict[str, jax.Array], counts, keyvals):
         return {
             "+": jnp.add, "-": jnp.subtract, "*": jnp.multiply,
             "/": jnp.true_divide, "%": jnp.mod,
+            "=": jnp.equal, "<>": jnp.not_equal,
+            "<": jnp.less, ">": jnp.greater,
+            "<=": jnp.less_equal, ">=": jnp.greater_equal,
+            "and": jnp.logical_and, "or": jnp.logical_or,
         }[e.op](a, b)
     if isinstance(e, A.UnaryOp):
         v = _post_agg_eval(e.operand, dense, counts, keyvals)
-        return jnp.negative(v)
+        return jnp.logical_not(v) if e.op == "not" else jnp.negative(v)
     raise Unsupported(f"post {e}")
 
 
@@ -551,7 +560,8 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
     fingerprint = (
         strategy,
         repr(sel.group_by), repr([pr[1] for pr in p["projections"]]),
-        repr(p["where"]), tuple(key_mins), tuple(key_ranges),
+        repr(p["where"]), repr(p["having"]),
+        tuple(key_mins), tuple(key_ranges),
         tuple((a.shape[0], str(a.dtype)) for a in arrays),
     )
     if strategy == "multikey":
@@ -597,6 +607,9 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
                     results.append(kv.astype(key_dtypes[ki]))
                 else:
                     results.append(_post_agg_eval(expr, gathered, counts, None))
+            if p["having"] is not None:
+                results.append(_post_agg_eval(p["having"], gathered,
+                                              counts, None))
             return results, num_groups
 
         fused_jit = jax.jit(fused)
@@ -609,7 +622,8 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
     out_cap = config.bucket_size(max(g, 1))
     if out_cap < gcap:
         results = [r[:out_cap] for r in results]
-    return _finish(session, p, cols, results, g)
+    hv = results.pop() if p["having"] is not None else None
+    return _finish(session, p, cols, results, g, having=hv)
 
 
 # --------------------------------------------------------------------- #
@@ -651,9 +665,11 @@ def _lane_payload(lanes):
     return payload, tag_groups
 
 
-def _finish(session, p, cols, results, g):
-    """Materialize the output Table from per-projection padded arrays."""
-    from aquery2_tpu.engine.executor import _derive_name, _limit_table
+def _finish(session, p, cols, results, g, having=None):
+    """Materialize the output Table from per-projection padded arrays;
+    `having` is an optional [≥g] boolean group mask."""
+    from aquery2_tpu.engine.executor import (_derive_name, _limit_table,
+                                             _take_table)
 
     out = Table.__new__(Table)
     out.name = f"result_{base62uuid(4)}"
@@ -677,14 +693,19 @@ def _finish(session, p, cols, results, g):
                   if arr.dtype != jnp.bool_ else T.BoolT)
             out.columns[name] = Column(name, st, arr, nrows=g)
 
-    if p.get("order_by") and g:
-        from aquery2_tpu.engine.executor import _sort_key_of, _take_table
+    if having is not None and g:
+        keep = np.nonzero(np.asarray(having[:g]).astype(bool))[0]
+        out = _take_table(out, keep)
+
+    if p.get("order_by") and out.nrows:
+        from aquery2_tpu.engine.executor import _sort_key_of
         from aquery2_tpu.ops.sort import sort_perm
 
+        gn = out.nrows
         names = out.column_names()
-        skeys = [(jnp.asarray(_sort_key_of(out.columns[names[pi]], g)), asc)
+        skeys = [(jnp.asarray(_sort_key_of(out.columns[names[pi]], gn)), asc)
                  for pi, asc in p["order_by"]]
-        perm = np.asarray(sort_perm(skeys, g))[:g]
+        perm = np.asarray(sort_perm(skeys, gn))[:gn]
         out = _take_table(out, perm)
 
     if p["limit"] is not None:
@@ -832,6 +853,9 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
                     results.append(kv)
                 else:
                     results.append(_post_agg_eval(expr, outs, counts, None))
+            if p["having"] is not None:
+                results.append(_post_agg_eval(p["having"], outs,
+                                              counts, None))
             return results, ng
 
         entry = jax.jit(fused_ps)
@@ -842,7 +866,8 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
     out_cap = config.bucket_size(max(g, 1))
     if out_cap < gcap:
         results = [r[:out_cap] for r in results]
-    return _finish(session, p, cols, results, g)
+    hv = results.pop() if p["having"] is not None else None
+    return _finish(session, p, cols, results, g, having=hv)
 
 
 def _run_sort(session, sel, table, p, col_order, arrays, fingerprint, n):
@@ -904,6 +929,9 @@ def _run_sort(session, sel, table, p, col_order, arrays, fingerprint, n):
                     results.append(sorted_keys[ki][ends_idx])
                 else:
                     results.append(_post_agg_eval(expr, outs, counts, None))
+            if p["having"] is not None:
+                results.append(_post_agg_eval(p["having"], outs,
+                                              counts, None))
             return results, ng
 
         entry = jax.jit(fused_sort)
@@ -914,4 +942,5 @@ def _run_sort(session, sel, table, p, col_order, arrays, fingerprint, n):
     out_cap = config.bucket_size(max(g, 1))
     if out_cap < cap:
         results = [r[:out_cap] for r in results]
-    return _finish(session, p, cols, results, g)
+    hv = results.pop() if p["having"] is not None else None
+    return _finish(session, p, cols, results, g, having=hv)

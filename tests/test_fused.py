@@ -221,3 +221,14 @@ def test_fused_groupby_order_by(db):
     r = db.execute("SELECT g, sum(v) AS s FROM ot GROUP BY g "
                    "ORDER BY s DESC LIMIT 2")
     assert r.rows() == [(1, 15), (2, 11)]
+
+
+def test_fused_groupby_having(db):
+    db.execute("CREATE TABLE ht(g INT, v INT)")
+    db.execute("INSERT INTO ht VALUES (1,10),(1,5),(2,2),(2,9),(2,1),(3,4)")
+    r = db.execute("SELECT g, sum(v) AS s FROM ht GROUP BY g "
+                   "HAVING count(*) > 1")
+    assert r.rows() == [(1, 15), (2, 12)]
+    r = db.execute("SELECT g, sum(v) AS s FROM ht GROUP BY g "
+                   "HAVING sum(v) >= 12 ORDER BY s")
+    assert r.rows() == [(2, 12), (1, 15)]
