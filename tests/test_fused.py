@@ -134,9 +134,9 @@ def test_fused_var_stddev(db):
 
 
 def test_fused_sort_path_compound_keys(db, monkeypatch):
-    """Force the sort strategy by shrinking the dense-domain cap."""
+    """Force the packed-sort strategy by shrinking the MXU-tier cap."""
     from aquery2_tpu import config as cfg
-    monkeypatch.setattr(cfg, "PERFECT_HASH_MAX_DOMAIN", 4)
+    monkeypatch.setattr(cfg, "ONEHOT_MATMUL_MAX_GROUPS", 1)
     from aquery2_tpu.engine import fused_groupby
     fused_groupby._cache.clear()
     r = db.execute("SELECT id1, id2, sum(v1) AS s, count(*) AS c FROM source "
@@ -155,7 +155,7 @@ def test_fused_sort_path_compound_keys(db, monkeypatch):
 
 def test_fused_sort_path_avg_minmax(db, monkeypatch):
     from aquery2_tpu import config as cfg
-    monkeypatch.setattr(cfg, "PERFECT_HASH_MAX_DOMAIN", 4)
+    monkeypatch.setattr(cfg, "ONEHOT_MATMUL_MAX_GROUPS", 1)
     from aquery2_tpu.engine import fused_groupby
     fused_groupby._cache.clear()
     r = db.execute("SELECT id3, avg(v3) AS a, max(v1) - min(v2) AS rg "
@@ -232,3 +232,45 @@ def test_fused_groupby_having(db):
     r = db.execute("SELECT g, sum(v) AS s FROM ht GROUP BY g "
                    "HAVING sum(v) >= 12 ORDER BY s")
     assert r.rows() == [(2, 12), (1, 15)]
+
+
+def test_fused_multiword_packed_keys(db):
+    """Keys whose bit-fields span two int32 words (> 30 total bits)."""
+    import numpy as np
+    rng = np.random.default_rng(9)
+    n = 600
+    a = rng.integers(0, 1 << 20, n).astype(np.int32)   # 20 bits
+    b = rng.integers(0, 1 << 20, n).astype(np.int32)   # 20 bits -> 2 words
+    v = rng.integers(-100, 100, n).astype(np.int32)
+    db.execute("CREATE TABLE mw(a INT, b INT, v INT)")
+    rows = ",".join(f"({x},{y},{z})" for x, y, z in zip(a, b, v))
+    db.execute(f"INSERT INTO mw VALUES {rows}")
+    r = db.execute("SELECT a, b, sum(v) AS s, count(*) AS c "
+                   "FROM mw GROUP BY a, b")
+    want = {}
+    for x, y, z in zip(a, b, v):
+        k = (int(x), int(y))
+        s, c = want.get(k, (0, 0))
+        want[k] = (s + int(z), c + 1)
+    got = {(row[0], row[1]): (row[2], row[3]) for row in r.rows()}
+    assert got == want
+    keys = [(row[0], row[1]) for row in r.rows()]
+    assert keys == sorted(keys)
+
+
+def test_fused_multikey_fallback_wide_key(db):
+    """A key wider than 30 bits forces the multi-key sort fallback."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    n = 400
+    a = (rng.integers(0, 50, n).astype(np.int64) * (1 << 33))  # 38+ bits
+    v = rng.integers(0, 100, n).astype(np.int32)
+    db.execute("CREATE TABLE wk(a BIGINT, v INT)")
+    rows = ",".join(f"({x},{z})" for x, z in zip(a, v))
+    db.execute(f"INSERT INTO wk VALUES {rows}")
+    r = db.execute("SELECT a, sum(v) AS s FROM wk GROUP BY a")
+    want = {}
+    for x, z in zip(a, v):
+        want[int(x)] = want.get(int(x), 0) + int(z)
+    got = {row[0]: row[1] for row in r.rows()}
+    assert got == want
