@@ -41,6 +41,18 @@ _plat = _os0.environ.get("AQ_TPU_PLATFORM") or _os0.environ.get("JAX_PLATFORMS")
 if _plat and jax.config.jax_platforms != _plat:
     try:
         jax.config.update("jax_platforms", _plat)
+        # If a backend is already LIVE on the wrong platform (the site
+        # hook initializes eagerly), the config update alone is not
+        # enough — and a half-applied switch silently drops XLA_FLAGS
+        # like --xla_force_host_platform_device_count, collapsing an
+        # 8-device test mesh to 1 device where every psum is a no-op.
+        # A full backend reset re-reads both the platform and the flags.
+        _want = _plat.split(",")[0].strip().lower()
+        _have = jax.devices()[0].platform.lower()
+        if _want == "cpu" and _have != "cpu":
+            from jax.extend import backend as _xbe
+
+            _xbe.clear_backends()
     except Exception:
         pass
 

@@ -11,6 +11,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: int | None = None, axis: str = "shards") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"mesh wants {n_devices} devices but only {len(devs)} "
+                "exist (for CPU tests set XLA_FLAGS="
+                "--xla_force_host_platform_device_count=N before jax "
+                "initializes)")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 
