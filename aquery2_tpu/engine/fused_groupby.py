@@ -829,7 +829,8 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
             last = jnp.concatenate([dif, jnp.ones((1,), jnp.bool_)]) & valid_s
             outs, ends_idx, ng = R.sorted_group_reduce(
                 starts, last, add_s, mins_s, maxs_s, f64s_s, gcap,
-                counts_from_ends="__counts__")
+                counts_from_ends="__counts__",
+                extract={f"__word{wi}": scw[wi] for wi in range(nwords)})
             counts = outs["__counts__"]
             if med_fps:
                 sv = med_sorted[0]
@@ -839,16 +840,13 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
                 outs[med_fps[0] + ":median"] = (
                     sv[lo_i].astype(jnp.float64)
                     + sv[hi_i].astype(jnp.float64)) * 0.5
-            words_g = {wi: None for wi in range(nwords)}
             results = []
             for kindp, expr, alias in p["projections"]:
                 if kindp == "key":
                     ki = key_names.index(expr.name.lower())
                     wi, shift, b = fields[ki]
-                    if words_g[wi] is None:
-                        words_g[wi] = scw[wi][ends_idx]
                     kdt = key_dtypes[ki]
-                    kv = ((words_g[wi] >> shift) & ((1 << b) - 1)
+                    kv = ((outs[f"__word{wi}"] >> shift) & ((1 << b) - 1)
                           ).astype(kdt) + jnp.asarray(key_mins[ki], kdt)
                     results.append(kv)
                 else:
@@ -920,13 +918,15 @@ def _run_sort(session, sel, table, p, col_order, arrays, fingerprint, n):
             starts = jnp.concatenate([jnp.ones((1,), jnp.bool_), dif])
             last = jnp.concatenate([dif, jnp.ones((1,), jnp.bool_)]) & valid_s
             outs, ends_idx, ng = R.sorted_group_reduce(
-                starts, last, add_s, mins_s, maxs_s, f64s_s, cap)
+                starts, last, add_s, mins_s, maxs_s, f64s_s, cap,
+                extract={f"__key{ki}": sorted_keys[ki]
+                         for ki in range(len(key_names))})
             counts = outs["__counts__"]
             results = []
             for kindp, expr, alias in p["projections"]:
                 if kindp == "key":
                     ki = key_names.index(expr.name.lower())
-                    results.append(sorted_keys[ki][ends_idx])
+                    results.append(outs[f"__key{ki}"])
                 else:
                     results.append(_post_agg_eval(expr, outs, counts, None))
             if p["having"] is not None:

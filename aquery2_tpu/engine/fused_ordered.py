@@ -370,14 +370,16 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
             last = jnp.concatenate(
                 [diff[1:], jnp.ones((1,), jnp.bool_)]) & valid_s
             outs, ends_idx, _ng2 = _sorted_reduce(
-                eval_sorted, valid_s, diff, last, cap, scatters)
+                eval_sorted, valid_s, diff, last, cap, scatters,
+                extract={f"__key{ki}": sorted_keys[ki]
+                         for ki in range(len(key_names))})
             counts = outs["__counts__"]
 
             results = []  # flat arrays; static tags live in out_tags
             for kindp, expr, alias in p["projections"]:
                 if kindp == "key":
                     ki = key_names.index(expr.name.lower())
-                    results.append(sorted_keys[ki][ends_idx])
+                    results.append(outs[f"__key{ki}"])
                 elif kindp == "row":
                     if _is_window_call(expr) and expr.func == "subvec":
                         base = eval_sorted(expr.args[0])
@@ -486,14 +488,16 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
     return out
 
 
-def _sorted_reduce(eval_sorted, valid_s, starts, last, cap, scatters):
+def _sorted_reduce(eval_sorted, valid_s, starts, last, cap, scatters,
+                   extract=None):
     """Group reduction over rows already sorted by group key, with a
     custom row evaluator (windowed leaves resolved by eval_sorted).
-    Cumsum/boundary-gather based — no per-group scatters (ops/reduce.py
-    has the measured cost model)."""
+    Cumsum/boundary-extraction based — no per-group scatters
+    (ops/reduce.py has the measured cost model)."""
     from aquery2_tpu.ops import reduce as R
 
     add, mins, maxs, f64s = fg._build_lanes({}, valid_s, scatters,
                                             eval_fn=eval_sorted)
     return R.sorted_group_reduce(starts, last, add, mins, maxs, f64s, cap,
-                                 counts_from_ends="__counts__")
+                                 counts_from_ends="__counts__",
+                                 extract=extract)

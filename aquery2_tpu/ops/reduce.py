@@ -265,7 +265,8 @@ def _segmented_extreme(starts: jax.Array, v: jax.Array, is_min: bool):
 
 
 def sorted_group_reduce(starts, last, add_lanes, min_lanes, max_lanes,
-                        f64_lanes, gcap, counts_from_ends: str | None = None):
+                        f64_lanes, gcap, counts_from_ends: str | None = None,
+                        extract: dict[str, jax.Array] | None = None):
     """Group reduction over rows ALREADY sorted by group key.
 
     starts: [n] bool, True at each group's first row (row 0 True).
@@ -275,40 +276,79 @@ def sorted_group_reduce(starts, last, add_lanes, min_lanes, max_lanes,
     `lax.sort` as payload operands; a random gather costs as much as
     the whole sort).
 
+    extract: extra [n] arrays whose value at each group's END row is
+    wanted (sorted key columns, packed code words, …) — returned under
+    their tags alongside the reductions.
+
     Returns (outs: tag → [gcap] per-group values in sorted-key order;
     ends_idx [gcap] row index of each group's last row; ng scalar group
     count). Slots ≥ ng hold garbage — callers slice by the
-    materialized group count."""
+    materialized group count.
+
+    Boundary extraction strategy, from measured v5e costs: a random
+    gather is ~9 ns per OUTPUT element per 32-bit word, so when groups
+    are sparse (gcap ≪ n) per-lane gathers at ends_idx are cheap; when
+    nearly every row is its own group (h2o q10: 1e7 groups from 1e7
+    rows) the gathers dominate — instead ONE unstable sort on a unique
+    composite int32 key (end rows first, ascending) carries every
+    extraction lane to the front in a single pass (~6× cheaper than
+    four 64-bit gathers at 16M rows)."""
     n = int(starts.shape[0])
     ng = jnp.sum(last, dtype=jnp.int32)
-    ends_idx = compact_indices(last, gcap, fill=n - 1)
+
+    # per-row values whose group-end entries we need
+    end_vals: dict[str, jax.Array] = {}
+    for t, col in (add_lanes or {}).items():
+        if t == counts_from_ends:
+            continue
+        end_vals[t] = jnp.cumsum(col.astype(jnp.int64))
+    for t, col in (min_lanes or {}).items():
+        end_vals[t] = _segmented_extreme(starts, col, True)
+    for t, col in (max_lanes or {}).items():
+        end_vals[t] = _segmented_extreme(starts, col, False)
+    for t, col in (f64_lanes or {}).items():
+        end_vals[t] = jnp.cumsum(col.astype(jnp.float64))
+    for t, col in (extract or {}).items():
+        end_vals[t] = col
+
+    use_compaction_sort = gcap * 4 >= n and len(end_vals) >= 2
+    if use_compaction_sort:
+        idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+        key = jnp.where(last, idx, idx + jnp.int32(n))   # unique → unstable ok
+        tags = list(end_vals)
+        res = jax.lax.sort([key, idx, *[end_vals[t] for t in tags]],
+                           num_keys=1, is_stable=False)
+        ends_idx = res[1][:gcap]
+        at_ends = {t: r[:gcap] for t, r in zip(tags, res[2:])}
+    else:
+        ends_idx = compact_indices(last, gcap, fill=n - 1)
+        at_ends = {t: v[ends_idx] for t, v in end_vals.items()}
 
     outs: dict[str, jax.Array] = {}
-    add_lanes = dict(add_lanes)
     if counts_from_ends is not None:
         # when invalid rows are GUARANTEED to sort behind every valid
         # group (sentinel keys), every row inside a group is valid, so
         # group sizes are just boundary-index differences — saves one
-        # cumsum + one boundary gather on every query (callers may also
-        # drop the counts lane from the sort payload entirely)
-        add_lanes.pop(counts_from_ends, None)
+        # cumsum + one boundary extraction on every query
         prev_e = jnp.concatenate(
             [jnp.full((1,), -1, jnp.int32), ends_idx[:-1]])
         outs[counts_from_ends] = ends_idx - prev_e
-    for t, col in add_lanes.items():
-        cs = jnp.cumsum(col.astype(jnp.int64))
-        ends_v = cs[ends_idx]
+    for t in (add_lanes or {}):
+        if t == counts_from_ends:
+            continue
+        ends_v = at_ends[t]
         prev = jnp.concatenate([jnp.zeros((1,), jnp.int64), ends_v[:-1]])
         outs[t] = ends_v - prev
-    for t, col in min_lanes.items():
-        outs[t] = _segmented_extreme(starts, col, True)[ends_idx]
-    for t, col in max_lanes.items():
-        outs[t] = _segmented_extreme(starts, col, False)[ends_idx]
-    for t, col in f64_lanes.items():
-        cs = jnp.cumsum(col.astype(jnp.float64))
-        ends_v = cs[ends_idx]
+    for t in (min_lanes or {}):
+        outs[t] = at_ends[t]
+    for t in (max_lanes or {}):
+        outs[t] = at_ends[t]
+    for t in (f64_lanes or {}):
+        ends_v = at_ends[t]
         prev = jnp.concatenate([jnp.zeros((1,), jnp.float64), ends_v[:-1]])
         outs[t] = ends_v - prev
+    for t in (extract or {}):
+        outs[t] = at_ends[t]
     return outs, ends_idx, ng
 
 

@@ -108,8 +108,8 @@ def dist_grouped_sums_shuffle(mesh: Mesh, axis: str, codes: jax.Array,
         add_s["__counts__"] = valid_s
         outs, ends_idx, ng = R.sorted_group_reduce(
             starts, last, add_s, {}, {}, {}, gcap,
-            counts_from_ends="__counts__")
-        codes_g = sc[ends_idx]
+            counts_from_ends="__counts__", extract={"__code": sc})
+        codes_g = outs["__code"]
         return (codes_g, outs["__counts__"].astype(jnp.int32),
                 *[outs[f"s{i}"] for i in range(len(vs_r))],
                 ng.reshape(1))
