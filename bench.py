@@ -36,14 +36,18 @@ QUERIES = {
     "q3": "SELECT id3, sum(v1) AS v1, avg(v3) AS v3 FROM source GROUP BY id3",
     "q4": "SELECT id4, avg(v1) AS v1, avg(v2) AS v2, avg(v3) AS v3 FROM source GROUP BY id4",
     "q5": "SELECT id6, sum(v1) AS v1, sum(v2) AS v2, sum(v3) AS v3 FROM source GROUP BY id6",
+    "q6": ("SELECT id4, id5, median(v3) AS median_v3, stddev(v3) AS sd "
+           "FROM source GROUP BY id4, id5"),   # reference disabled it ("x4")
     "q7": "SELECT id3, max(v1) - min(v2) AS range_v1_v2 FROM source GROUP BY id3",
+    "q8": ("SELECT id6, subvec(v3, 0, 2) AS largest2_v3 FROM source "
+           "ASSUMING DESC v3 GROUP BY id6"),   # top-2 per group
     "q9": "SELECT id2, id4, pow(corr(v1, v2), 2) AS r2 FROM source GROUP BY id2, id4",
     "q10": ("SELECT id1, id2, id3, id4, id5, id6, sum(v3) AS v3, count(*) AS cnt "
             "FROM source GROUP BY id1, id2, id3, id4, id5, id6"),
     "qj": "SELECT count(*) FROM source s, dim d WHERE s.id3 = d.id3",
 }
 
-DEFAULT_QUERIES = ["q1", "q2", "q3", "q4", "q5", "q7", "q10", "qj"]
+DEFAULT_QUERIES = ["q1", "q2", "q3", "q4", "q5", "q6", "q7", "q9", "q10", "qj"]
 
 
 def make_data(session, n: int, seed: int = 42) -> None:
