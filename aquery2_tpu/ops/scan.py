@@ -187,7 +187,9 @@ def sumw(w: int, x: jax.Array, pos: jax.Array, flags: jax.Array | None) -> jax.A
     sumw warm-up is the running sum, aggregations.h:238-252)."""
     xl = x.astype(_long_dtype(x.dtype))
     c = seg_cumsum(xl, flags)
-    behind = _gather_back(c, jnp.full_like(pos, w))
+    # constant trailing distance: roll, never gather (a random gather
+    # costs as much as an entire sort on TPU; a static roll is a copy)
+    behind = _shift_right(c, w)
     return jnp.where(pos >= w, c - behind, c)
 
 
@@ -228,9 +230,8 @@ def varw(w: int, x: jax.Array, pos: jax.Array, flags: jax.Array | None) -> jax.A
     xf = x.astype(fp)
     c = seg_cumsum(xf, flags)
     csq = seg_cumsum(xf * xf, flags)
-    kw = jnp.full_like(pos, w)
-    s = jnp.where(pos >= w, c - _gather_back(c, kw), c)
-    ssq = jnp.where(pos >= w, csq - _gather_back(csq, kw), csq)
+    s = jnp.where(pos >= w, c - _shift_right(c, w), c)
+    ssq = jnp.where(pos >= w, csq - _shift_right(csq, w), csq)
     cnt = jnp.minimum(pos + 1, w).astype(fp)
     mean = s / cnt
     return jnp.maximum(ssq / cnt - mean * mean, 0)
