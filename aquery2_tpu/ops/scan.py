@@ -69,12 +69,6 @@ def _shift_right(x: jax.Array, s: int | jax.Array) -> jax.Array:
     return jnp.roll(x, s, axis=0)
 
 
-def _gather_back(x: jax.Array, k: jax.Array) -> jax.Array:
-    """x[i-k] with clamping; k may vary per element."""
-    idx = jnp.arange(x.shape[0], dtype=jnp.int32) - k.astype(jnp.int32)
-    return x[jnp.clip(idx, 0, x.shape[0] - 1)]
-
-
 # --- segmented primitive scans -------------------------------------------
 
 def _pos_from_flags(flags: jax.Array) -> jax.Array:
