@@ -50,9 +50,12 @@ QUERIES = {
 DEFAULT_QUERIES = ["q1", "q2", "q3", "q4", "q5", "q6", "q7", "q9", "q10", "qj"]
 
 
-def make_data(session, n: int, seed: int = 42) -> None:
+def make_data(session, n: int, seed: int = 42,
+              string_ids: bool = False) -> None:
     """G1-style synthetic data (h2o db-benchmark shape; _n numeric ids,
-    reference benchmark/h2o/groupby_prep.sql declares all-int ids).
+    reference benchmark/h2o/groupby_prep.sql declares all-int ids;
+    --string-ids switches id1/id2/id4/id5 to dictionary-encoded VARCHAR
+    like the original h2o csv, exercising string group keys).
 
     Generated ON DEVICE with jax.random — host→device transfers over a
     tunneled TPU run at ~10 MB/s, so shipping 600 MB of host arrays
@@ -62,7 +65,7 @@ def make_data(session, n: int, seed: int = 42) -> None:
 
     from aquery2_tpu import config
     from aquery2_tpu import types as T
-    from aquery2_tpu.storage.table import Column, Table
+    from aquery2_tpu.storage.table import Column, StringDict, Table
 
     k = 10
     nk = max(n // k, 1)
@@ -84,10 +87,17 @@ def make_data(session, n: int, seed: int = 42) -> None:
     arrays = gen(jax.random.PRNGKey(seed))
     jax.block_until_ready(arrays)
     names = ["id1", "id2", "id3", "id4", "id5", "id6", "v1", "v2", "v3"]
-    t = Table("source", [
-        Column(nm, T.FloatT if nm == "v3" else T.IntT, arr, nrows=n)
-        for nm, arr in zip(names, arrays)
-    ])
+    str_cols = {"id1", "id2", "id4", "id5"} if string_ids else set()
+    cols = []
+    for nm, arr in zip(names, arrays):
+        if nm in str_cols:
+            # h2o strings are 'id001'..'id010': dictionary-encoded codes
+            d = StringDict([f"id{i:03d}" for i in range(k + 1)])
+            cols.append(Column(nm, T.StrT, arr, nrows=n, dictionary=d))
+        else:
+            cols.append(Column(nm, T.FloatT if nm == "v3" else T.IntT,
+                               arr, nrows=n))
+    t = Table("source", cols)
     session.catalog.create(t, replace=True)
 
     # join dim: ~10% sample of the id3 domain with weights
@@ -115,6 +125,9 @@ def main() -> int:
     ap.add_argument("--rows", type=int, default=10_000_000)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--queries", type=str, default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--string-ids", action="store_true",
+                    help="dictionary-encoded VARCHAR group keys like the "
+                         "original h2o csv")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -122,7 +135,7 @@ def main() -> int:
 
     session = aq.connect()
     t0 = time.perf_counter()
-    make_data(session, args.rows)
+    make_data(session, args.rows, string_ids=args.string_ids)
     if args.verbose:
         print(f"# datagen: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
 
