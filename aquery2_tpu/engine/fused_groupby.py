@@ -122,24 +122,31 @@ def plan(sel: A.Select, table: Table):
         raise Unsupported("joins")
     cols = table.columns
 
-    keys: list[A.ColumnRef] = []
+    keys: list[A.Expr] = []
+    expr_keys = False
     for g in sel.group_by:
-        if not isinstance(g, A.ColumnRef) or g.name not in cols:
-            raise Unsupported("non-column group key")
-        c = cols[g.name]
-        if getattr(c, "is_vector", False):
-            raise Unsupported("vector key")
-        if not (c.sqltype.kind in ("int", "bool") or c.sqltype.is_string
-                or c.sqltype.is_temporal):
-            raise Unsupported("non-integer key")
+        if isinstance(g, A.ColumnRef) and g.name in cols:
+            c = cols[g.name]
+            if getattr(c, "is_vector", False):
+                raise Unsupported("vector key")
+            if not (c.sqltype.kind in ("int", "bool") or c.sqltype.is_string
+                    or c.sqltype.is_temporal):
+                raise Unsupported("non-integer key")
+            keys.append(g)
+            continue
+        # computed group keys (GROUP BY x+y, GROUP BY ts/86400, …): no
+        # column stats to pack with, but the multi-key sort tier orders
+        # arbitrary evaluated keys just the same
+        _check_row_expr(g, cols)
         keys.append(g)
+        expr_keys = True
 
     if sel.where is not None:
         _check_row_expr(sel.where, cols)
 
     projections = []
     aggs: list[A.Call] = []
-    keyset = {k.name.lower() for k in keys}
+    keyset = {k.name.lower() for k in keys if isinstance(k, A.ColumnRef)}
     for p in sel.projections:
         e = p.expr
         if isinstance(e, A.Star):
@@ -147,6 +154,9 @@ def plan(sel: A.Select, table: Table):
         if isinstance(e, A.ColumnRef):
             if e.name.lower() not in keyset:
                 raise Unsupported("bare non-key column")
+            projections.append(("key", e, p.alias))
+            continue
+        if any(e == k for k in keys):      # projected computed key
             projections.append(("key", e, p.alias))
             continue
         before = len(aggs)
@@ -186,6 +196,7 @@ def plan(sel: A.Select, table: Table):
     return {"keys": keys, "projections": projections, "aggs": aggs,
             "where": sel.where, "limit": sel.limit, "having": sel.having,
             "has_median": bool(medians), "order_by": order_by,
+            "expr_keys": expr_keys,
             "into_table": sel.into_table, "into_outfile": sel.into_outfile,
             "outfile_sep": sel.outfile_sep}
 
@@ -505,18 +516,19 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
     #              cost of a sort for 64-bit lanes)
     #   multikey — unpackable keys (huge ranges / floats): lexicographic
     #              multi-operand sort, same reduction
-    key_cols = [cols[k.name] for k in p["keys"]]
     key_mins, key_ranges = [], []
     domain = 1
-    packable = True
-    for c in key_cols:
-        if c.data.dtype.kind not in "iub":
-            packable = False
-            break
-        mn, mx = c.stats()
-        key_mins.append(int(mn))
-        key_ranges.append(int(mx) - int(mn) + 1)
-        domain *= key_ranges[-1]
+    packable = not p["expr_keys"]      # computed keys have no stats
+    if packable:
+        for k in p["keys"]:
+            c = cols[k.name]
+            if c.data.dtype.kind not in "iub":
+                packable = False
+                break
+            mn, mx = c.stats()
+            key_mins.append(int(mn))
+            key_ranges.append(int(mx) - int(mn) + 1)
+            domain *= key_ranges[-1]
     if p["has_median"]:
         if not packable or _plan_words(key_ranges) is None:
             return None           # general path computes median
@@ -529,7 +541,8 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
         strategy = "multikey"
 
     scatters = _needed_scatters(p["aggs"])
-    key_names = [k.name.lower() for k in p["keys"]]
+    key_names = [k.name.lower() for k in p["keys"]
+                 if isinstance(k, A.ColumnRef)]
 
     # only the columns the query actually references
     referenced: set[str] = set()
@@ -548,11 +561,13 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
                     walk(a)
 
     for k in p["keys"]:
-        referenced.add(k.name.lower())
+        walk(k)
     for _, expr, _ in p["projections"]:
         walk(expr)
     if p["where"] is not None:
         walk(p["where"])
+    if p["having"] is not None:
+        walk(p["having"])
 
     col_order = sorted(referenced)
     arrays = [cols[name].data for name in col_order]
@@ -648,6 +663,18 @@ def _sentinel_min(dt):
     return jnp.iinfo(dt).min
 
 
+def _key_index(keys, expr) -> int:
+    """Index of a projected key expression in the GROUP BY list —
+    by name for column refs, by AST equality for computed keys."""
+    for i, k in enumerate(keys):
+        if k == expr:
+            return i
+        if (isinstance(k, A.ColumnRef) and isinstance(expr, A.ColumnRef)
+                and k.name.lower() == expr.name.lower()):
+            return i
+    raise Unsupported(f"projection {expr} is not a group key")
+
+
 def _split_sorted_payload(sorted_res, noff, tag_groups):
     """Unpack lax.sort results back into the lane dicts."""
     it = iter(sorted_res[noff:])
@@ -684,7 +711,7 @@ def _finish(session, p, cols, results, g, having=None):
             name = f"{name}_{used[lk]}"
         else:
             used[lk] = 0
-        if kindp == "key":
+        if kindp == "key" and isinstance(expr, A.ColumnRef):
             src = cols[expr.name]
             out.columns[name] = Column(name, src.sqltype, arr, nrows=g,
                                        dictionary=src.dictionary)
@@ -881,7 +908,7 @@ def _run_sort(session, sel, table, p, col_order, arrays, fingerprint, n):
     from aquery2_tpu.ops import reduce as R
 
     cols = table.columns
-    key_names = [k.name.lower() for k in p["keys"]]
+    keys = p["keys"]
     scatters = _needed_scatters(p["aggs"])
     cap = int(arrays[0].shape[0])
 
@@ -897,8 +924,8 @@ def _run_sort(session, sel, table, p, col_order, arrays, fingerprint, n):
                     w = w != 0
                 valid = valid & w
             ops = []
-            for kn in key_names:
-                k = env[kn]
+            for ke in keys:
+                k = _row_eval(ke, env)      # ColumnRef or computed key
                 ops.append(jnp.where(
                     valid, k, jnp.asarray(_sentinel_max(k.dtype), k.dtype)))
             # reduction lanes ride the sort as extra operands — a random
@@ -920,12 +947,12 @@ def _run_sort(session, sel, table, p, col_order, arrays, fingerprint, n):
             outs, ends_idx, ng = R.sorted_group_reduce(
                 starts, last, add_s, mins_s, maxs_s, f64s_s, cap,
                 extract={f"__key{ki}": sorted_keys[ki]
-                         for ki in range(len(key_names))})
+                         for ki in range(len(keys))})
             counts = outs["__counts__"]
             results = []
             for kindp, expr, alias in p["projections"]:
                 if kindp == "key":
-                    ki = key_names.index(expr.name.lower())
+                    ki = _key_index(keys, expr)
                     results.append(outs[f"__key{ki}"])
                 else:
                     results.append(_post_agg_eval(expr, outs, counts, None))

@@ -274,3 +274,21 @@ def test_fused_multikey_fallback_wide_key(db):
         want[int(x)] = want.get(int(x), 0) + int(z)
     got = {row[0]: row[1] for row in r.rows()}
     assert got == want
+
+
+def test_fused_expression_group_key(db):
+    r = db.execute("SELECT id1+id2 AS k, sum(v1) AS s FROM source "
+                   "GROUP BY id1+id2")
+    d = db._data
+    want = _oracle_groupby({"k": d["id1"] + d["id2"], "v1": d["v1"]}, ["k"],
+                           lambda idx: int(d["v1"][idx].sum()))
+    got = {(row[0],): row[1] for row in r.rows()}
+    assert got == want
+    keys = [row[0] for row in r.rows()]
+    assert keys == sorted(keys)
+    # combined with HAVING + ORDER BY
+    r = db.execute("SELECT id1*10+id2 AS k, count(*) AS c FROM source "
+                   "GROUP BY id1*10+id2 HAVING count(*) > 0 ORDER BY c DESC")
+    assert sum(row[1] for row in r.rows()) == len(d["id1"])
+    cs = [row[1] for row in r.rows()]
+    assert cs == sorted(cs, reverse=True)
