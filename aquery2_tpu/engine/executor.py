@@ -246,6 +246,15 @@ class Executor:
             if t is not None:
                 return t
 
+        if len(sel.sources) == 2 and sel.group_by and not sel.assumptions:
+            # star/FK join + group-by: dense-lookup the dim side, then the
+            # single-table fused group-by (engine/fused_star.py)
+            from aquery2_tpu.engine import fused_star
+
+            t = fused_star.try_run(self.session, sel)
+            if t is not None:
+                return t
+
         ws, residual_where = self._build_sources(sel)
 
         if sel.assumptions:

@@ -1,0 +1,230 @@
+"""Fused star join + group-by: FK-join grouped aggregation without pair
+materialization.
+
+`SELECT d.w, count(*) FROM fact s, dim d WHERE s.k = d.k GROUP BY d.w`
+needs no join output: when the build side's keys are UNIQUE (the classic
+star/FK shape), each fact row has at most one match, so the join reduces
+to a per-row lookup — a dense position table over the dim key domain
+(stats-gated perfect hashing, reference hasher.h:209-322) plus one
+gather per referenced dim column. The rewritten single-table SELECT
+then runs on the fused group-by tiers (engine/fused_groupby.py).
+
+The reference materializes the full hash join first (engine/ast.py
+:874-1090); at 1e7 fact rows this path is ~7× faster than our own
+general join+group-by pipeline (2.2 s → ~0.3 s).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aquery2_tpu import config
+from aquery2_tpu import types as T
+from aquery2_tpu.parser import ast_nodes as A
+from aquery2_tpu.storage.table import Column, Table
+
+_lookup_cache: dict[tuple, Any] = {}
+
+
+def _split_conjuncts(e):
+    if isinstance(e, A.BinOp) and e.op == "and":
+        return _split_conjuncts(e.left) + _split_conjuncts(e.right)
+    return [e]
+
+
+def _and_all(conds):
+    out = None
+    for c in conds:
+        out = c if out is None else A.BinOp(op="and", left=out, right=c)
+    return out
+
+
+def try_run(session, sel: A.Select):
+    """Return the result Table, or None if the shape doesn't fit."""
+    if (not sel.group_by or len(sel.sources) != 2 or sel.assumptions
+            or sel.distinct or sel.unions or sel.where is None):
+        return None
+    if not all(isinstance(s, A.TableSource) for s in sel.sources):
+        return None
+    try:
+        tables = [session.catalog.get(s.name) for s in sel.sources]
+    except KeyError:
+        return None
+    aliases = [(s.alias or s.name).lower() for s in sel.sources]
+
+    def side_of(ref: A.ColumnRef):
+        """0/1 for probe-able column refs; None if unresolvable."""
+        if ref.table is not None:
+            tl = ref.table.lower()
+            for i, s in enumerate(sel.sources):
+                if tl in (aliases[i], s.name.lower()):
+                    return i if ref.name in tables[i].columns else None
+            return None
+        hits = [i for i in (0, 1) if ref.name in tables[i].columns]
+        return hits[0] if len(hits) == 1 else None
+
+    # find exactly one cross-table equality in the WHERE conjuncts
+    conds = _split_conjuncts(sel.where)
+    link = None
+    residual = []
+    for c in conds:
+        if (link is None and isinstance(c, A.BinOp) and c.op == "="
+                and isinstance(c.left, A.ColumnRef)
+                and isinstance(c.right, A.ColumnRef)):
+            ls, rs = side_of(c.left), side_of(c.right)
+            if ls is not None and rs is not None and ls != rs:
+                link = (c.left, ls) if ls == 0 else (c.right, rs)
+                other = (c.right, rs) if ls == 0 else (c.left, ls)
+                link = (link, other)
+                continue
+        residual.append(c)
+    if link is None:
+        return None
+
+    # pick the build (dim) side: smaller table with a packable key domain
+    (refa, sa), (refb, sb) = link
+    key_by_side = {sa: refa, sb: refb}
+    build = 0 if tables[0].nrows <= tables[1].nrows else 1
+    probe = 1 - build
+    bt, pt = tables[build], tables[probe]
+    bkey = bt.columns[key_by_side[build].name]
+    pkey = pt.columns[key_by_side[probe].name]
+    if bkey.data.dtype.kind not in "iub" or pkey.data.dtype.kind not in "iub":
+        return None
+    if getattr(bkey, "is_vector", False) or getattr(pkey, "is_vector", False):
+        return None
+    if bkey.sqltype.is_string or pkey.sqltype.is_string:
+        if bkey.dictionary is not pkey.dictionary:
+            return None          # dictionary translation: general path
+    mn, mx = (int(x) for x in bkey.stats())
+    domain = mx - mn + 1
+    if not (0 < domain <= config.PERFECT_HASH_MAX_DOMAIN):
+        return None
+    if bt.nrows == 0 or pt.nrows == 0:
+        return None
+
+    # referenced dim columns (besides the key) — resolve every ColumnRef
+    dim_refs: dict[str, str] = {}     # dim column name -> mangled name
+    unresolvable = []
+
+    def rewrite(e):
+        if isinstance(e, A.ColumnRef):
+            s = side_of(e)
+            if s is None:
+                unresolvable.append(e)
+                return e
+            if s == probe:
+                return A.ColumnRef(name=e.name, table=None)
+            mang = dim_refs.setdefault(e.name.lower(),
+                                       f"__star_{e.name.lower()}")
+            return A.ColumnRef(name=mang, table=None)
+        if isinstance(e, A.BinOp):
+            return A.BinOp(op=e.op, left=rewrite(e.left),
+                           right=rewrite(e.right))
+        if isinstance(e, A.UnaryOp):
+            return A.UnaryOp(op=e.op, operand=rewrite(e.operand))
+        if isinstance(e, A.Call):
+            return A.Call(func=e.func,
+                          args=tuple(a if isinstance(a, A.Star)
+                                     else rewrite(a) for a in e.args),
+                          distinct=e.distinct)
+        return e
+
+    new_group = [rewrite(g) for g in sel.group_by]
+    new_projs = [A.Projection(expr=(p.expr if isinstance(p.expr, A.Star)
+                                    else rewrite(p.expr)), alias=p.alias)
+                 for p in sel.projections]
+    new_resid = [rewrite(c) for c in residual]
+    new_having = rewrite(sel.having) if sel.having is not None else None
+    new_order = [replace(o, expr=rewrite(o.expr)) for o in (sel.order_by or [])]
+    if unresolvable:
+        return None
+
+    # build the dense position table; require UNIQUE dim keys (FK shape)
+    bcap = int(bkey.data.shape[0])
+    ckey = (id(bkey.data), bt.nrows, mn, domain)
+    entry = _lookup_cache.get(ckey)
+    if entry is None:
+        @jax.jit
+        def build_lookup(bk, nb):
+            ri = jnp.arange(bk.shape[0], dtype=jnp.int32)
+            code = jnp.where(ri < nb, (bk - mn).astype(jnp.int32), domain)
+            hist = jnp.zeros((domain + 1,), jnp.int32).at[code].add(1)
+            dup = jnp.sum((hist[:domain] > 1).astype(jnp.int32))
+            pos = jnp.full((domain + 1,), -1, jnp.int32).at[code].set(
+                ri, mode="drop")
+            return pos, dup
+
+        pos_tbl, dup = build_lookup(bkey.data, bt.nrows)
+        entry = (pos_tbl, int(dup))
+        _lookup_cache[ckey] = entry
+    pos_tbl, dup = entry
+    if dup:
+        return None               # non-unique dim keys: general join
+
+    # materialize probe-aligned dim columns + the match flag
+    pcap = int(pkey.data.shape[0])
+    dim_cols_needed = [nm for nm in dim_refs
+                       if nm != key_by_side[build].name.lower()]
+    # the dim KEY itself equals the probe key on matched rows
+    darrs = [bt.columns[nm].data for nm in dim_cols_needed]
+
+    @jax.jit
+    def gather_dim(pk, np_, pos_tbl, *dcols):
+        pi = jnp.arange(pk.shape[0], dtype=jnp.int32)
+        inrange = (pi < np_) & (pk >= mn) & (pk <= mx)
+        code = jnp.clip((pk - mn).astype(jnp.int32), 0, domain)
+        midx = jnp.where(inrange, pos_tbl[code], -1)
+        match = midx >= 0
+        safe = jnp.clip(midx, 0, None)
+        return (match.astype(jnp.int32),
+                *[d[safe] for d in dcols])
+
+    got = gather_dim(pkey.data, pt.nrows, pos_tbl, *darrs)
+    match, gathered = got[0], got[1:]
+
+    # synthetic single table: probe columns (zero-copy) + gathered dim cols
+    tmp = Table.__new__(Table)
+    tmp.name = "__star_tmp"
+    from aquery2_tpu.utils import CaseInsensitiveDict
+
+    tmp.columns = CaseInsensitiveDict()
+    tmp.sorted_by = ()
+    for nm, c in pt.columns.items():
+        tmp.columns[nm] = c
+    for nm, arr in zip(dim_cols_needed, gathered):
+        src = bt.columns[nm]
+        col = Column(dim_refs[nm.lower()], src.sqltype, arr,
+                     nrows=pt.nrows, dictionary=src.dictionary)
+        col._stats = src.stats()         # clipped gather stays in range
+        tmp.columns[dim_refs[nm.lower()]] = col
+    km = dim_refs.get(key_by_side[build].name.lower())
+    if km is not None:
+        # dim key values == probe key values on matched rows
+        src = bt.columns[key_by_side[build].name]
+        col = Column(km, src.sqltype, pkey.data, nrows=pt.nrows,
+                     dictionary=pkey.dictionary)
+        col._stats = pkey.stats()
+        tmp.columns[km] = col
+    tmp.columns["__star_match"] = Column("__star_match", T.IntT, match,
+                                         nrows=pt.nrows)
+
+    match_cond = A.BinOp(op="=",
+                         left=A.ColumnRef(name="__star_match", table=None),
+                         right=A.Literal(value=1, is_string=False))
+    new_where = _and_all(new_resid + [match_cond])
+
+    new_sel = replace(
+        sel, sources=[A.TableSource(name="__star_tmp", alias=None)],
+        where=new_where, group_by=list(new_group),
+        projections=list(new_projs), having=new_having,
+        order_by=list(new_order))
+
+    from aquery2_tpu.engine import fused_groupby
+
+    return fused_groupby.run(session, new_sel, tmp)

@@ -292,3 +292,59 @@ def test_fused_expression_group_key(db):
     assert sum(row[1] for row in r.rows()) == len(d["id1"])
     cs = [row[1] for row in r.rows()]
     assert cs == sorted(cs, reverse=True)
+
+
+def test_fused_star_join_groupby(db):
+    """FK join + group-by through the star fast path, vs numpy oracle."""
+    import numpy as np
+    from aquery2_tpu.storage.table import Column, Table
+    from aquery2_tpu import types as T
+    d = db._data
+    dim_keys = np.unique(d["id3"])[::2].astype(np.int32)   # unique FK side
+    rng2 = np.random.default_rng(3)
+    w = rng2.integers(1, 5, len(dim_keys)).astype(np.int32)
+    db.catalog.create(Table("dimw", [Column("id3", T.IntT, dim_keys),
+                                     Column("w", T.IntT, w)]), replace=True)
+    r = db.execute("SELECT d.w, count(*) AS c, sum(s.v1) AS sv "
+                   "FROM source s, dimw d WHERE s.id3 = d.id3 GROUP BY d.w")
+    lut = dict(zip(dim_keys.tolist(), w.tolist()))
+    from collections import defaultdict
+    want_c = defaultdict(int)
+    want_s = defaultdict(int)
+    for k, v1 in zip(d["id3"], d["v1"]):
+        if int(k) in lut:
+            want_c[lut[int(k)]] += 1
+            want_s[lut[int(k)]] += int(v1)
+    got = {row[0]: (row[1], row[2]) for row in r.rows()}
+    assert got == {k: (want_c[k], want_s[k]) for k in want_c}
+
+    # probe-side filter stays in WHERE; dim key projected works too
+    r2 = db.execute("SELECT d.id3, count(*) AS c FROM source s, dimw d "
+                    "WHERE s.id3 = d.id3 AND s.v1 > 2 GROUP BY d.id3")
+    m = d["v1"] > 2
+    want2 = defaultdict(int)
+    for k in d["id3"][m]:
+        if int(k) in lut:
+            want2[int(k)] += 1
+    got2 = {row[0]: row[1] for row in r2.rows()}
+    assert got2 == dict(want2)
+
+
+def test_star_join_falls_back_on_dup_keys(db):
+    """Duplicate build keys must fall back to the general join (results
+    still correct, with pair multiplicity)."""
+    import numpy as np
+    from aquery2_tpu.storage.table import Column, Table
+    from aquery2_tpu import types as T
+    d = db._data
+    keys = np.array([1, 1, 2], dtype=np.int32)   # dup key 1
+    w = np.array([10, 20, 30], dtype=np.int32)
+    db.catalog.create(Table("dimdup", [Column("id1", T.IntT, keys),
+                                       Column("w", T.IntT, w)]), replace=True)
+    r = db.execute("SELECT d.w, count(*) AS c FROM source s, dimdup d "
+                   "WHERE s.id1 = d.id1 GROUP BY d.w")
+    from collections import Counter
+    c1 = Counter(d["id1"].tolist())
+    want = {10: c1[1], 20: c1[1], 30: c1[2]}
+    got = {row[0]: row[1] for row in r.rows()}
+    assert got == want
