@@ -465,13 +465,15 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
             vals, mask = rv[1], rv[2]
             perm2, cnt = filter_ops.compact_indices(mask)
             m = int(cnt)
-            # per-group kept counts from the mask + group offsets:
-            # cumulative mask sampled at group boundaries (vectorized —
-            # a Python loop over 1M groups costs seconds)
-            mask_h = np.asarray(mask)
-            mc = np.concatenate([[0], np.cumsum(mask_h, dtype=np.int64)])
+            # per-group kept counts: cumulative mask sampled at group
+            # boundaries, ON DEVICE — pulling the row-sized mask to the
+            # host costs seconds over a tunneled chip
+            mc = jnp.cumsum(mask.astype(jnp.int64))
+            boundary = jnp.asarray(
+                np.minimum(offsets[1:], int(mask.shape[0])) - 1)
             kept = np.zeros(g + 1, dtype=np.int64)
-            kept[1:] = mc[np.minimum(offsets[1:], len(mask_h))]
+            kept[1:] = np.asarray(
+                jnp.where(boundary >= 0, mc[jnp.clip(boundary, 0)], 0))
             vals_c = vals[perm2][: max(m, 1)]
             st = T.from_np_dtype(np.dtype(vals.dtype))
             out.columns[name] = VectorColumn(
