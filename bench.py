@@ -45,9 +45,12 @@ QUERIES = {
     "q10": ("SELECT id1, id2, id3, id4, id5, id6, sum(v3) AS v3, count(*) AS cnt "
             "FROM source GROUP BY id1, id2, id3, id4, id5, id6"),
     "qj": "SELECT count(*) FROM source s, dim d WHERE s.id3 = d.id3",
+    "qjg": ("SELECT d.w, count(*) AS c, sum(s.v1) AS sv FROM source s, dim d "
+            "WHERE s.id3 = d.id3 GROUP BY d.w"),     # star join + group-by
 }
 
-DEFAULT_QUERIES = ["q1", "q2", "q3", "q4", "q5", "q6", "q7", "q9", "q10", "qj"]
+DEFAULT_QUERIES = ["q1", "q2", "q3", "q4", "q5", "q6", "q7", "q9", "q10",
+                   "qj", "qjg"]
 
 
 def make_data(session, n: int, seed: int = 42,
