@@ -4,23 +4,32 @@ This is the TPU-native analogue of the reference's *compiled query
 execution* (README.md:5-18): where AQuery2 code-generates and clang-
 compiles a C++ snippet per query (build.py `build_dll`, engine/ast.py
 groupby_c :620-794), we trace the whole grouped-aggregation pipeline —
-row-expression evaluation, WHERE masking, dense perfect-hash coding,
-scatter-reductions, group compaction — into TWO jitted programs:
+row-expression evaluation, WHERE masking, key coding, reduction, group
+compaction, HAVING, key decode — into ONE jitted program per query ×
+shape bucket, with a single host sync (the group-count pull).
 
-  ONE jitted program per query × shape bucket: rows → a single wide
-  [n, K] int64 scatter-add into dense accumulators (all additive
-  aggregates share one scatter) + scatter-min/max → static-size
-  compaction (nonzero + gathers) → output columns. One device dispatch,
-  one host sync per query (the group-count pull at the end).
+Strategy tiers, chosen from measured v5e costs (ops/reduce.py):
 
-WHERE clauses fold into the coding step as masks (filtered rows scatter
-into the overflow slot) — filters never materialize compacted rows on
-this path.
+  dense    — tiny key domains (≤ config.ONEHOT_MATMUL_MAX_GROUPS):
+             dense perfect-hash coding + exact bf16 one-hot matmul
+             reduction on the MXU.
+  packed   — keys bit-pack into int32 words from column stats
+             (reference PerfectHashTable, hasher.h:209-322): sort on
+             the word tuple carrying all reduction lanes as payload,
+             then cumsum + boundary extraction. Median rides the sort
+             as a secondary key.
+  multikey — computed keys (GROUP BY x+y) or >30-bit ranges:
+             lexicographic sort on the evaluated keys, same reduction.
+
+WHERE folds into the coding step (filtered rows carry sentinel codes
+that sort behind every group); HAVING evaluates over the dense group
+aggregates in-program; ORDER BY/LIMIT apply to the small result table.
 
 Supported shape (falls back to the general executor otherwise):
   SELECT key..., f(agg(rowexpr)...) FROM t [WHERE rowpred]
-  GROUP BY intkeys... — aggs: sum/avg/min/max/count/corr/var/stddev;
-  row exprs and post-agg exprs: arithmetic/comparisons/math calls.
+  GROUP BY keyexprs... [HAVING aggpred] [ORDER BY outputcols] —
+  aggs: sum/avg/min/max/count/corr/var/stddev/median; row exprs and
+  post-agg exprs: arithmetic/comparisons/math calls.
 """
 
 from __future__ import annotations
