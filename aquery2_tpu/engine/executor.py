@@ -246,9 +246,13 @@ class Executor:
             if t is not None:
                 return t
 
-        if len(sel.sources) == 2 and sel.group_by and not sel.assumptions:
-            # star/FK join + group-by: dense-lookup the dim side, then the
-            # single-table fused group-by (engine/fused_star.py)
+        if (sel.group_by and not sel.assumptions
+                and (len(sel.sources) == 2
+                     or (len(sel.sources) == 1
+                         and isinstance(sel.sources[0], A.JoinSource)))):
+            # star/FK join + group-by (comma, NATURAL, ON, USING forms):
+            # dense-lookup the dim side, then the single-table fused
+            # group-by (engine/fused_star.py)
             from aquery2_tpu.engine import fused_star
 
             t = fused_star.try_run(self.session, sel)

@@ -46,22 +46,56 @@ def _and_all(conds):
 
 def try_run(session, sel: A.Select):
     """Return the result Table, or None if the shape doesn't fit."""
-    if (not sel.group_by or len(sel.sources) != 2 or sel.assumptions
-            or sel.distinct or sel.unions or sel.where is None):
+    if not sel.group_by or sel.assumptions or sel.distinct or sel.unions:
         return None
-    if not all(isinstance(s, A.TableSource) for s in sel.sources):
+
+    # normalize an explicit two-table JOIN (NATURAL / ON / USING,
+    # reference engine/ast.py:874-1090) into the comma+WHERE form
+    sources = list(sel.sources)
+    extra_conds: list[A.Expr] = []
+    if len(sources) == 1 and isinstance(sources[0], A.JoinSource):
+        js = sources[0]
+        if not (isinstance(js.left, A.TableSource)
+                and isinstance(js.right, A.TableSource)
+                and js.kind in ("inner", "natural")):
+            return None
+        try:
+            lt = session.catalog.get(js.left.name)
+            rt = session.catalog.get(js.right.name)
+        except KeyError:
+            return None
+        la = js.left.alias or js.left.name
+        ra = js.right.alias or js.right.name
+        if js.on is not None:
+            extra_conds = _split_conjuncts(js.on)
+        else:
+            names = (list(js.using) if js.using else
+                     [nm for nm in lt.column_names()
+                      if nm.lower() in {c.lower() for c in rt.column_names()}])
+            if len(names) != 1:
+                return None          # multi-column natural join: general path
+            extra_conds = [A.BinOp(
+                op="=",
+                left=A.ColumnRef(name=names[0], table=la),
+                right=A.ColumnRef(name=names[0], table=ra))]
+        sources = [js.left, js.right]
+    if len(sources) != 2:
+        return None
+    if not all(isinstance(s, A.TableSource) for s in sources):
+        return None
+    if sel.where is None and not extra_conds:
         return None
     try:
-        tables = [session.catalog.get(s.name) for s in sel.sources]
+        tables = [session.catalog.get(s.name) for s in sources]
     except KeyError:
         return None
-    aliases = [(s.alias or s.name).lower() for s in sel.sources]
+    aliases = [(s.alias or s.name).lower() for s in sources]
 
     def side_of(ref: A.ColumnRef):
         """0/1 for probe-able column refs; None if unresolvable."""
         if ref.table is not None:
             tl = ref.table.lower()
-            for i, s in enumerate(sel.sources):
+            for i, s in enumerate(sources):
                 if tl in (aliases[i], s.name.lower()):
                     return i if ref.name in tables[i].columns else None
             return None
@@ -69,7 +103,8 @@ def try_run(session, sel: A.Select):
         return hits[0] if len(hits) == 1 else None
 
     # find exactly one cross-table equality in the WHERE conjuncts
-    conds = _split_conjuncts(sel.where)
+    conds = extra_conds + (_split_conjuncts(sel.where)
+                           if sel.where is not None else [])
     link = None
     residual = []
     for c in conds:
@@ -112,9 +147,16 @@ def try_run(session, sel: A.Select):
     dim_refs: dict[str, str] = {}     # dim column name -> mangled name
     unresolvable = []
 
+    probe_key_name = key_by_side[probe].name.lower()
+
     def rewrite(e):
         if isinstance(e, A.ColumnRef):
             s = side_of(e)
+            if s is None and e.table is None \
+                    and e.name.lower() == probe_key_name:
+                # NATURAL JOIN's shared key: both sides hold the same
+                # values on matched rows — resolve to the probe side
+                s = probe
             if s is None:
                 unresolvable.append(e)
                 return e

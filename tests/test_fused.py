@@ -348,3 +348,29 @@ def test_star_join_falls_back_on_dup_keys(db):
     want = {10: c1[1], 20: c1[1], 30: c1[2]}
     got = {row[0]: row[1] for row in r.rows()}
     assert got == want
+
+
+def test_fused_star_natural_join_groupby(db):
+    import numpy as np
+    from aquery2_tpu.storage.table import Column, Table
+    from aquery2_tpu import types as T
+    d = db._data
+    dim_keys = np.unique(d["id3"]).astype(np.int32)      # all keys, unique
+    rng2 = np.random.default_rng(7)
+    w = rng2.integers(1, 4, len(dim_keys)).astype(np.int32)
+    db.catalog.create(Table("dimn", [Column("id3", T.IntT, dim_keys),
+                                     Column("w", T.IntT, w)]), replace=True)
+    r = db.execute("SELECT w, count(*) AS c FROM source NATURAL JOIN dimn "
+                   "GROUP BY w")
+    lut = dict(zip(dim_keys.tolist(), w.tolist()))
+    from collections import Counter
+    want = Counter(lut[int(k)] for k in d["id3"])
+    got = {row[0]: row[1] for row in r.rows()}
+    assert got == dict(want)
+
+    # shared key projected unqualified + ON form
+    r2 = db.execute("SELECT id3, count(*) AS c FROM source s JOIN dimn d "
+                    "ON s.id3 = d.id3 GROUP BY id3")
+    want2 = Counter(int(k) for k in d["id3"])
+    got2 = {row[0]: row[1] for row in r2.rows()}
+    assert got2 == dict(want2)
