@@ -336,6 +336,12 @@ class Executor:
         def build(src: A.Source) -> WorkingSet:
             if isinstance(src, A.TableSource):
                 return leaf(src)
+            if isinstance(src, A.SubquerySource):
+                # derived table: run the subquery, use its result in place
+                sub_t = self.run_select(src.select)
+                if src.alias:
+                    sub_t.name = src.alias
+                return WorkingSet.from_table(sub_t, src.alias)
             left = build(src.left)
             right = build(src.right)
             if src.kind == "natural":

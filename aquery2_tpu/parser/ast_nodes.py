@@ -93,7 +93,14 @@ class JoinSource:
     using: tuple[str, ...] = ()
 
 
-Source = TableSource | JoinSource
+@dataclass
+class SubquerySource:
+    """Derived table: FROM (SELECT ...) [alias]."""
+    select: "Select"
+    alias: str | None = None
+
+
+Source = TableSource | JoinSource | SubquerySource
 
 
 @dataclass

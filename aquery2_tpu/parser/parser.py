@@ -426,7 +426,17 @@ class Parser:
             else:
                 return sources
 
-    def _table_source(self) -> A.TableSource:
+    def _table_source(self) -> A.Source:
+        if self.accept_op("("):
+            # derived table: FROM (SELECT ...) [alias]
+            sub = self.parse_select()
+            self.expect_op(")")
+            alias = None
+            t = self.peek()
+            if (t.kind == "ident" and t.text.lower() not in _CLAUSE_KEYWORDS
+                    and t.text.lower() not in _STMT_STARTERS):
+                alias = self.next().text
+            return A.SubquerySource(sub, alias)
         name = self.expect_ident()
         alias = None
         t = self.peek()

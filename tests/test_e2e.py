@@ -379,3 +379,19 @@ def test_update(db):
     db.execute("UPDATE u SET s = 'w', a = 0 WHERE b = 40")
     got = db.execute("SELECT a, s FROM u").rows()
     assert got == [(1, "x"), (0, "w"), (3, "z")]
+
+
+def test_derived_table_subquery(db):
+    db.execute("CREATE TABLE dt(a INT, b INT)")
+    db.execute("INSERT INTO dt VALUES (1,2),(1,3),(2,5),(3,1)")
+    r = db.execute("SELECT a, s FROM (SELECT a, sum(b) AS s FROM dt "
+                   "GROUP BY a) sub WHERE s > 2")
+    assert sorted(r.rows()) == [(1, 5), (2, 5)]
+    # derived tables on both sides of a join
+    r = db.execute("SELECT count(*) FROM (SELECT a FROM dt WHERE b > 1) x, "
+                   "(SELECT a FROM dt WHERE b > 2) y WHERE x.a = y.a")
+    assert r.scalar() == 3
+    # nested aggregation over a derived table
+    r = db.execute("SELECT max(s) FROM (SELECT a, sum(b) AS s FROM dt "
+                   "GROUP BY a) q")
+    assert r.scalar() == 5
