@@ -245,9 +245,49 @@ class EvalContext:
             return self._case(e)
         if isinstance(e, A.Index):
             return self._index(e)
+        if isinstance(e, A.Subquery):
+            return self._scalar_subquery(e)
         if isinstance(e, A.Star):
             raise EvalError("* not valid in this position")
         raise EvalError(f"cannot evaluate {e!r}")
+
+    # -- subqueries (uncorrelated) ------------------------------------------
+
+    def _run_subquery(self, e: A.Subquery) -> Table:
+        from aquery2_tpu.engine.executor import Executor
+
+        return Executor(self.session).run_select(e.select)
+
+    def _scalar_subquery(self, e: A.Subquery) -> Value:
+        t = self._run_subquery(e)
+        if t.ncols != 1 or t.nrows != 1:
+            raise EvalError(
+                f"scalar subquery returned {t.nrows}×{t.ncols}, want 1×1")
+        col = next(iter(t.columns.values()))
+        v = col.to_python()[0]
+        st = col.sqltype
+        if st.is_string:
+            return Value("scalar", v, T.StrT)
+        return Value("scalar", v, st)
+
+    def _in_subquery(self, e: A.BinOp) -> Value:
+        lv = self.to_row(self.eval(e.left))
+        t = self._run_subquery(e.right)
+        if t.ncols != 1:
+            raise EvalError("IN subquery must produce one column")
+        col = next(iter(t.columns.values()))
+        if lv.sqltype.is_string or col.sqltype.is_string:
+            if lv.dictionary is None or not col.sqltype.is_string:
+                raise EvalError("IN subquery: incompatible string operands")
+            # encode the subquery's strings in the probe's dictionary;
+            # unknown strings can never match
+            vals = np.asarray(
+                [lv.dictionary.lookup(s) for s in col.to_python()],
+                dtype=np.int32)
+        else:
+            vals = np.asarray(col.data[: col.nrows])
+        member = jnp.isin(lv.data, jnp.asarray(vals))
+        return Value("row", member, T.BoolT)
 
     def _literal(self, e: A.Literal) -> Value:
         v = e.value
@@ -297,6 +337,8 @@ class EvalContext:
         return lit
 
     def _binop(self, e: A.BinOp) -> Value:
+        if e.op == "in" and isinstance(e.right, A.Subquery):
+            return self._in_subquery(e)
         lv = self.eval(e.left)
         rv = self.eval(e.right)
         op = e.op

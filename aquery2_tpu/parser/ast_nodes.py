@@ -72,6 +72,12 @@ class CaseWhen(Expr):
 
 # --- select ---------------------------------------------------------------
 
+@dataclass(frozen=True)
+class Subquery(Expr):
+    """Scalar subquery `(SELECT ...)` or the right side of IN (SELECT ...)."""
+    select: "Select"
+
+
 @dataclass
 class Projection:
     expr: Expr

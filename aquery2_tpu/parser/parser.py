@@ -614,6 +614,11 @@ class Parser:
             elif self.at_kw("in"):
                 self.next()
                 self.expect_op("(")
+                if self.at_kw("select"):    # IN (SELECT ...)
+                    sub = self.parse_select()
+                    self.expect_op(")")
+                    e = A.BinOp("in", e, A.Subquery(sub))
+                    continue
                 items = []
                 while not self.accept_op(")"):
                     items.append(self.parse_expr())
@@ -671,6 +676,10 @@ class Parser:
             return A.Literal(t.text, is_string=True)
         if self.at_op("("):
             self.next()
+            if self.at_kw("select"):        # scalar subquery
+                sub = self.parse_select()
+                self.expect_op(")")
+                return A.Subquery(sub)
             e = self.parse_expr()
             self.expect_op(")")
             return e

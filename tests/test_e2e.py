@@ -395,3 +395,17 @@ def test_derived_table_subquery(db):
     r = db.execute("SELECT max(s) FROM (SELECT a, sum(b) AS s FROM dt "
                    "GROUP BY a) q")
     assert r.scalar() == 5
+
+
+def test_subquery_expressions(db):
+    db.execute("CREATE TABLE sq(a INT, b INT, s VARCHAR(4))")
+    db.execute("INSERT INTO sq VALUES (1,2,'x'),(2,3,'y'),(3,5,'x'),(4,1,'z')")
+    r = db.execute("SELECT a FROM sq WHERE a IN (SELECT a FROM sq WHERE b > 2)")
+    assert r.rows() == [(2,), (3,)]
+    r = db.execute("SELECT a FROM sq WHERE b > (SELECT avg(b) FROM sq)")
+    assert r.rows() == [(2,), (3,)]
+    r = db.execute("SELECT a FROM sq WHERE s IN (SELECT s FROM sq WHERE b >= 3)")
+    assert r.rows() == [(1,), (2,), (3,)]
+    # scalar subquery in a projection
+    r = db.execute("SELECT a - (SELECT min(a) FROM sq) AS z FROM sq")
+    assert [x[0] for x in r.rows()] == [0, 1, 2, 3]
