@@ -411,6 +411,9 @@ class EvalContext:
         return Value(lv.kind, jnp.asarray(lut)[codes], T.BoolT)
 
     def _unary(self, e: A.UnaryOp) -> Value:
+        if e.op == "exists" and isinstance(e.operand, A.Subquery):
+            t = self._run_subquery(e.operand)
+            return Value("scalar", t.nrows > 0, T.BoolT)
         v = self.eval(e.operand)
         if e.op == "-":
             return Value(v.kind, jnp.negative(v.data), v.sqltype, v.dictionary)

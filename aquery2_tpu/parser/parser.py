@@ -611,6 +611,43 @@ class Parser:
                 self.expect_kw("and")
                 hi = self._additive()
                 e = A.BinOp("and", A.BinOp(">=", e, lo), A.BinOp("<=", e, hi))
+            elif self.at_kw("not"):
+                # postfix negations: NOT IN / NOT BETWEEN / NOT LIKE
+                self.next()
+                if self.at_kw("like"):
+                    self.next()
+                    e = A.UnaryOp("not",
+                                  A.BinOp("like", e, self._additive()))
+                elif self.at_kw("between"):
+                    self.next()
+                    lo = self._additive()
+                    self.expect_kw("and")
+                    hi = self._additive()
+                    e = A.UnaryOp("not", A.BinOp(
+                        "and", A.BinOp(">=", e, lo), A.BinOp("<=", e, hi)))
+                elif self.at_kw("in"):
+                    self.next()
+                    self.expect_op("(")
+                    if self.at_kw("select"):
+                        sub = self.parse_select()
+                        self.expect_op(")")
+                        e = A.UnaryOp("not",
+                                      A.BinOp("in", e, A.Subquery(sub)))
+                        continue
+                    items = []
+                    while not self.accept_op(")"):
+                        items.append(self.parse_expr())
+                        self.accept_op(",")
+                    cond: A.Expr | None = None
+                    for it in items:
+                        c = A.BinOp("=", e, it)
+                        cond = c if cond is None else A.BinOp("or", cond, c)
+                    e = A.UnaryOp("not", cond if cond is not None
+                                  else A.Literal(False))
+                else:
+                    raise ParseError(
+                        f"line {self.peek().line}: expected IN/BETWEEN/LIKE "
+                        "after NOT")
             elif self.at_kw("in"):
                 self.next()
                 self.expect_op("(")
@@ -683,6 +720,12 @@ class Parser:
             e = self.parse_expr()
             self.expect_op(")")
             return e
+        if self.at_kw("exists"):
+            self.next()
+            self.expect_op("(")
+            sub = self.parse_select()
+            self.expect_op(")")
+            return A.UnaryOp("exists", A.Subquery(sub))
         if self.at_op("*"):
             self.next()
             return A.Star()
