@@ -113,10 +113,17 @@ def _collect_aggs(e: A.Expr, cols, out: list[A.Call]) -> None:
             return
         raise Unsupported(f"call {e.func}")
     if isinstance(e, A.BinOp):
+        # only operators _post_agg_eval can trace; anything else (LIKE,
+        # IN, …) must fall back to the general executor at plan time
+        if e.op not in ("+", "-", "*", "/", "%", "=", "<>", "<", ">",
+                        "<=", ">=", "and", "or"):
+            raise Unsupported(f"post-agg op {e.op}")
         _collect_aggs(e.left, cols, out)
         _collect_aggs(e.right, cols, out)
         return
     if isinstance(e, A.UnaryOp):
+        if e.op not in ("-", "not"):
+            raise Unsupported(f"post-agg unary {e.op}")
         _collect_aggs(e.operand, cols, out)
         return
     raise Unsupported(f"post-agg expr {e}")
@@ -932,23 +939,25 @@ def _run_sort(session, sel, table, p, col_order, arrays, fingerprint, n):
                 if w.dtype != jnp.bool_:
                     w = w != 0
                 valid = valid & w
-            ops = []
-            for ke in keys:
-                k = _row_eval(ke, env)      # ColumnRef or computed key
-                ops.append(jnp.where(
-                    valid, k, jnp.asarray(_sentinel_max(k.dtype), k.dtype)))
+            # validity rides as the MOST SIGNIFICANT sort key (invalid
+            # rows sort strictly after every valid group), so a valid
+            # group whose key happens to equal the dtype max can never
+            # interleave with invalid rows — no sentinel key values
+            invalid = ~valid
+            ops = [_row_eval(ke, env) for ke in keys]
             # reduction lanes ride the sort as extra operands — a random
             # gather costs as much as the whole sort on TPU (~9 ns/row)
             lanes = _build_lanes(env, valid, scatters)
             payload, tag_groups = _lane_payload(lanes)
             sorted_res = jax.lax.sort(
-                [*ops, valid, *payload], num_keys=len(ops), is_stable=False)
-            sorted_keys = sorted_res[:len(ops)]
-            valid_s = sorted_res[len(ops)]
+                [invalid, *ops, *payload], num_keys=1 + len(ops),
+                is_stable=False)
+            valid_s = ~sorted_res[0]
+            sorted_keys = sorted_res[1:1 + len(ops)]
             add_s, mins_s, maxs_s, f64s_s = _split_sorted_payload(
                 sorted_res, len(ops) + 1, tag_groups)
 
-            dif = jnp.zeros((cap - 1,), jnp.bool_)
+            dif = sorted_res[0][1:] != sorted_res[0][:-1]
             for sk in sorted_keys:
                 dif = dif | (sk[1:] != sk[:-1])
             starts = jnp.concatenate([jnp.ones((1,), jnp.bool_), dif])

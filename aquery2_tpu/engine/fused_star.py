@@ -187,10 +187,15 @@ def try_run(session, sel: A.Select):
     if unresolvable:
         return None
 
-    # build the dense position table; require UNIQUE dim keys (FK shape)
+    # build the dense position table; require UNIQUE dim keys (FK shape).
+    # Cache key uses id(bkey.data) — each entry keeps a strong reference to
+    # the source array and verifies identity on hit, so a recycled id after
+    # the dim table is dropped/replaced can never return a stale table.
     bcap = int(bkey.data.shape[0])
     ckey = (id(bkey.data), bt.nrows, mn, domain)
     entry = _lookup_cache.get(ckey)
+    if entry is not None and entry[0] is not bkey.data:
+        entry = None
     if entry is None:
         @jax.jit
         def build_lookup(bk, nb):
@@ -203,9 +208,11 @@ def try_run(session, sel: A.Select):
             return pos, dup
 
         pos_tbl, dup = build_lookup(bkey.data, bt.nrows)
-        entry = (pos_tbl, int(dup))
+        if len(_lookup_cache) >= 64:        # eviction bound
+            _lookup_cache.pop(next(iter(_lookup_cache)))
+        entry = (bkey.data, pos_tbl, int(dup))
         _lookup_cache[ckey] = entry
-    pos_tbl, dup = entry
+    _, pos_tbl, dup = entry
     if dup:
         return None               # non-unique dim keys: general join
 

@@ -157,8 +157,10 @@ def _mxu_reduce(code, add_lanes, min_lanes, max_lanes, domain):
     mins2 = [min_lanes[t].reshape(nc, _CHUNK) for t in min_tags]
     maxs2 = [max_lanes[t].reshape(nc, _CHUNK) for t in max_tags]
 
-    # int32 carry when worst-case digit totals fit, else int64
-    acc_dtype = (jnp.int32 if (_DIGIT_BASE // 2) * n < 2**31 else jnp.int64)
+    # int32 carry when worst-case digit totals fit, else int64. The true
+    # max digit magnitude is _DIGIT_BASE - 1 (uint lo/mid digit lanes of
+    # int64 payloads reach 127), not the signed half-base.
+    acc_dtype = (jnp.int32 if (_DIGIT_BASE - 1) * n < 2**31 else jnp.int64)
 
     def step(carry, xs):
         acc, macc, xacc = carry

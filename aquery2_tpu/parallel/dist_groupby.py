@@ -73,8 +73,13 @@ def dist_grouped_sums_shuffle(mesh: Mesh, axis: str, codes: jax.Array,
     codes: int32 packed group codes (row-sharded); vals: int lanes
     (row-sharded); valid: row validity. Returns per-shard results
     stacked along the axis: (codes_g [ndev·gcap], counts [ndev·gcap],
-    sums_i [ndev·gcap]..., ng [ndev]) — slots ≥ ng[d] in shard d's
-    block are garbage."""
+    sums_i [ndev·gcap]..., ng [ndev], dropped [ndev]) — slots ≥ ng[d] in
+    shard d's block are garbage. ``dropped[d]`` counts shard d's rows
+    that exceeded ``bucket_cap`` for some destination and were NOT
+    exchanged (key skew): callers must check ``dropped.sum() == 0`` and
+    ``ng <= gcap`` or retry with larger caps (see
+    ``dist_grouped_sums_shuffle_safe``). gcap should default to
+    ndev*bucket_cap — the post-exchange per-shard row bound."""
     from aquery2_tpu.ops import reduce as R
 
     ndev = mesh.shape[axis]
@@ -83,12 +88,13 @@ def dist_grouped_sums_shuffle(mesh: Mesh, axis: str, codes: jax.Array,
     @partial(
         shard_map, mesh=mesh,
         in_specs=(P(axis), *([P(axis)] * len(vals)), P(axis)),
-        out_specs=(P(axis), P(axis), *([P(axis)] * len(vals)), P(axis)),
+        out_specs=(P(axis), P(axis), *([P(axis)] * len(vals)), P(axis),
+                   P(axis)),
     )
     def step(c, *rest):
         *vs, vld = rest
-        cb, pays_b, okb = _pack_buckets_multi(c, list(vs), vld, ndev,
-                                              bucket_cap)
+        cb, pays_b, okb, ndrop = _pack_buckets_multi(c, list(vs), vld, ndev,
+                                                     bucket_cap)
         c_r = jax.lax.all_to_all(cb, axis, 0, 0, tiled=False).reshape(-1)
         ok_r = jax.lax.all_to_all(okb, axis, 0, 0, tiled=False).reshape(-1)
         vs_r = [jax.lax.all_to_all(pb, axis, 0, 0, tiled=False).reshape(-1)
@@ -112,9 +118,34 @@ def dist_grouped_sums_shuffle(mesh: Mesh, axis: str, codes: jax.Array,
         codes_g = outs["__code"]
         return (codes_g, outs["__counts__"].astype(jnp.int32),
                 *[outs[f"s{i}"] for i in range(len(vs_r))],
-                ng.reshape(1))
+                ng.reshape(1), ndrop.reshape(1))
 
     return step(codes, *vals, valid)
+
+
+def dist_grouped_sums_shuffle_safe(mesh: Mesh, axis: str, codes: jax.Array,
+                                   vals: list[jax.Array], valid: jax.Array,
+                                   bucket_cap: int, max_retries: int = 4):
+    """Skew-robust wrapper: run the shuffle group-by, detect bucket
+    overflow / group-capacity truncation on device, and retry with
+    doubled caps until the exchange is lossless (or raise).
+
+    A heavy-hitter key that routes >bucket_cap rows of one shard to one
+    destination overflows the fixed all_to_all buckets; doubling
+    bucket_cap (and gcap = ndev*bucket_cap with it) converges in
+    O(log skew) rounds. Each retry recompiles once per new cap —
+    amortized across repeated queries by the jit cache."""
+    cap = int(bucket_cap)
+    for _ in range(max_retries + 1):
+        gcap = mesh.shape[axis] * cap
+        out = dist_grouped_sums_shuffle(mesh, axis, codes, vals, valid,
+                                        cap, gcap)
+        *res, ng, dropped = out
+        if int(jnp.sum(dropped)) == 0 and int(jnp.max(ng)) <= gcap:
+            return (*res, ng)
+        cap *= 2
+    raise RuntimeError(
+        f"dist_grouped_sums_shuffle: bucket overflow persists at cap={cap}")
 
 
 def _pack_buckets_multi(key: jax.Array, payloads: list[jax.Array],
@@ -147,4 +178,5 @@ def _pack_buckets_multi(key: jax.Array, payloads: list[jax.Array],
     pays_b = [scatter(p) for p in payloads]
     okf = (jnp.zeros((ndev * cap + 1,), jnp.bool_).at[slot].set(ok)
            [:-1].reshape(ndev, cap))
-    return keys_b, pays_b, okf
+    ndrop = jnp.sum(((d_sorted < ndev) & ~ok).astype(jnp.int32))
+    return keys_b, pays_b, okf, ndrop

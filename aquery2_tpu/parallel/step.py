@@ -35,7 +35,7 @@ def distributed_query_step(mesh: Mesh, axis: str, codes, v1, v3, time_col,
 
     # shuffle tier: all_to_all re-partition + shard-local sorted reduce
     # (the multi-chip form of the packed-sort group-by)
-    _codes_g, sh_counts, _sh_sums, sh_ng = (
+    _codes_g, sh_counts, _sh_sums, sh_ng, _sh_drop = (
         dist_groupby.dist_grouped_sums_shuffle(
             mesh, axis, codes, [v1], valid, bucket_cap, bucket_cap))
 

@@ -75,12 +75,13 @@ def test_dist_grouped_sums_shuffle(mesh, rng):
     valid_h = np.ones(n, bool)
     valid_h[-77:] = False
 
-    codes_g, counts, sums, ngs = dist_groupby.dist_grouped_sums_shuffle(
+    codes_g, counts, sums, ngs, dropped = dist_groupby.dist_grouped_sums_shuffle(
         mesh, "shards",
         shard_1d(mesh, jnp.asarray(codes_h)),
         [shard_1d(mesh, jnp.asarray(vals_h))],
         shard_1d(mesh, jnp.asarray(valid_h)),
         bucket_cap=1024, gcap=1024)
+    assert int(np.sum(np.asarray(dropped))) == 0
 
     codes_g = np.asarray(codes_g).reshape(8, -1)
     counts = np.asarray(counts).reshape(8, -1)
@@ -104,3 +105,46 @@ def test_dist_grouped_sums_shuffle(mesh, rng):
             assert got_counts.get(c) == want_counts[c], c
             assert got_sums.get(c) == want_sums[c], c
     assert sum(int(x) for x in ngs) == int((want_counts > 0).sum())
+
+
+def test_dist_shuffle_skew_overflow_detected(mesh, rng):
+    """One key holds 50% of all rows and bucket_cap is tiny: the raw
+    shuffle must REPORT dropped rows (never silently lose them), and the
+    safe wrapper must retry with doubled caps until the result is exact
+    (VERDICT round-1 item 3 / ADVICE dist_groupby.py:136)."""
+    n = 8 * 256
+    codes_h = rng.integers(0, 900, n).astype(np.int32)
+    codes_h[: n // 2] = 7                 # heavy hitter: 50% of rows
+    vals_h = rng.integers(-9, 9, n).astype(np.int32)
+    valid_h = np.ones(n, bool)
+
+    args = (shard_1d(mesh, jnp.asarray(codes_h)),
+            [shard_1d(mesh, jnp.asarray(vals_h))],
+            shard_1d(mesh, jnp.asarray(valid_h)))
+
+    # raw call with cap far below the hot key's per-shard row count
+    *_, dropped = dist_groupby.dist_grouped_sums_shuffle(
+        mesh, "shards", *args, bucket_cap=32, gcap=8 * 32)
+    assert int(np.sum(np.asarray(dropped))) > 0     # overflow is visible
+
+    # safe wrapper converges to the exact answer
+    codes_g, counts, sums, ngs = dist_groupby.dist_grouped_sums_shuffle_safe(
+        mesh, "shards", *args, bucket_cap=32)
+    codes_g = np.asarray(codes_g).reshape(8, -1)
+    counts = np.asarray(counts).reshape(8, -1)
+    sums = np.asarray(sums).reshape(8, -1)
+    ngs = np.asarray(ngs)
+    got_counts, got_sums = {}, {}
+    for d in range(8):
+        for gi in range(int(ngs[d])):
+            c = int(codes_g[d, gi])
+            assert c not in got_counts
+            got_counts[c] = int(counts[d, gi])
+            got_sums[c] = int(sums[d, gi])
+    want_counts = np.bincount(codes_h, minlength=900)
+    want_sums = np.zeros(900, np.int64)
+    np.add.at(want_sums, codes_h, vals_h)
+    for c in range(900):
+        if want_counts[c]:
+            assert got_counts.get(c) == want_counts[c], c
+            assert got_sums.get(c) == want_sums[c], c
