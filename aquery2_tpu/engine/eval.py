@@ -45,6 +45,10 @@ class Value:
     dictionary: StringDict | None = None
     mask: jax.Array | None = None   # row-kind: subvec row selection
     pack_cols: list | None = None   # pack(): list of row arrays
+    nulls: jax.Array | None = None  # SQL NULL mask (True = null); None = no
+    #                                 nulls. Reference `missing`/IS NULL is
+    #                                 real against MonetDB validity
+    #                                 (common/types.py:359-364).
 
 
 # --- scalar math registry (reference cstdlib bindings, types.py:368-374) --
@@ -122,6 +126,25 @@ class WorkingSet:
         self._cache[key] = out
         return out
 
+    def gather_nulls(self, si: int, col: Column) -> jax.Array | None:
+        """Null mask (True = null) in working-set row order, or None."""
+        if col.valid is None:
+            return None
+        key = (si, "\0nulls\0" + col.name.lower())
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        nulls = ~col.valid
+        idx = self.indices[si]
+        if idx is None:
+            out = nulls[: self.capacity]
+            if out.shape[0] < self.capacity:
+                out = jnp.pad(out, (0, self.capacity - out.shape[0]))
+        else:
+            out = nulls[jnp.clip(idx[: self.capacity], 0, col.capacity - 1)]
+        self._cache[key] = out
+        return out
+
     def column_value(self, name: str, qualifier: str | None = None) -> Value:
         si, col = self.find(name, qualifier)
         if isinstance(col, VectorColumn):
@@ -129,7 +152,8 @@ class WorkingSet:
                 f"vector column {name} can only be passed whole to module "
                 f"functions / pack in this context")
         arr = self.gather(si, col)
-        return Value("row", arr, col.sqltype, dictionary=col.dictionary)
+        return Value("row", arr, col.sqltype, dictionary=col.dictionary,
+                     nulls=self.gather_nulls(si, col))
 
     def vector_column(self, name: str, qualifier: str | None = None):
         si, col = self.find(name, qualifier)
@@ -150,7 +174,8 @@ class WorkingSet:
                     out.append((col.name, (si, col)))
                 else:
                     out.append((col.name, Value("row", self.gather(si, col),
-                                                col.sqltype, col.dictionary)))
+                                                col.sqltype, col.dictionary,
+                                                nulls=self.gather_nulls(si, col))))
         return out
 
     # -- layout transforms -------------------------------------------------
@@ -221,7 +246,8 @@ class EvalContext:
         # group → row broadcast
         arr = v.data
         seg = jnp.clip(self.seg, 0, arr.shape[0] - 1)
-        return Value("row", arr[seg], v.sqltype, v.dictionary)
+        nulls = v.nulls[seg] if v.nulls is not None else None
+        return Value("row", arr[seg], v.sqltype, v.dictionary, nulls=nulls)
 
     def np_offsets(self):
         if self.grouping is not None:
@@ -362,33 +388,74 @@ class EvalContext:
             rv = _to_ranks(rv)
 
         kind = _result_kind(lv.kind, rv.kind)
-        a = self.to_row(lv).data if kind == "row" else lv.data
-        b = self.to_row(rv).data if kind == "row" else rv.data
+
+        # NULL literal operand: x <op> NULL is NULL for every scalar op
+        # (AND/OR get Kleene treatment below via an all-null operand)
+        if (lv.kind == "scalar" and lv.data is None) or \
+                (rv.kind == "scalar" and rv.data is None):
+            if op not in ("and", "or"):
+                shape = self._kind_shape(kind)
+                t = T.BoolT if op in ("=", "<>", "<", ">", "<=", ">=",
+                                      "like") else T.promote(lv.sqltype,
+                                                             rv.sqltype)
+                return Value(kind, jnp.zeros(shape, jnp.dtype(t.np_dtype)), t,
+                             nulls=jnp.ones(shape, jnp.bool_))
+
+        if kind == "row":
+            lv2, rv2 = self.to_row(lv), self.to_row(rv)
+            a, b = lv2.data, rv2.data
+            anull, bnull = lv2.nulls, rv2.nulls
+        else:
+            a, b = lv.data, rv.data
+            anull, bnull = lv.nulls, rv.nulls
+        nulls = _or_nulls(anull, bnull)
 
         if op in ("and", "or"):
-            fn = jnp.logical_and if op == "and" else jnp.logical_or
-            data = fn(_as_bool(a), _as_bool(b))
-            return Value(kind, data, T.BoolT)
+            ab, bb = _as_bool(a), _as_bool(b)
+            if nulls is None:
+                fn = jnp.logical_and if op == "and" else jnp.logical_or
+                return Value(kind, fn(ab, bb), T.BoolT)
+            # Kleene 3-valued logic: NULL AND false = false, NULL OR true
+            # = true — nullness only survives when the other side can't
+            # decide the result
+            ta = ab & _not_null(anull, ab)
+            fa = ~ab & _not_null(anull, ab)
+            tb = bb & _not_null(bnull, bb)
+            fb = ~bb & _not_null(bnull, bb)
+            if op == "and":
+                data = ta & tb
+                known = (ta & tb) | fa | fb
+            else:
+                data = ta | tb
+                known = (fa & fb) | ta | tb
+            return Value(kind, data, T.BoolT, nulls=~known)
         if op in ("=", "<>", "<", ">", "<=", ">="):
             fn = {"=": jnp.equal, "<>": jnp.not_equal, "<": jnp.less,
                   ">": jnp.greater, "<=": jnp.less_equal, ">=": jnp.greater_equal}[op]
-            return Value(kind, fn(a, b), T.BoolT)
+            return Value(kind, fn(a, b), T.BoolT, nulls=nulls)
         if op == "like":
             return self._like(lv, rv, kind)
         lt, rt = lv.sqltype, rv.sqltype
         if op == "+":
-            return Value(kind, jnp.add(a, b), T.promote(lt, rt))
+            return Value(kind, jnp.add(a, b), T.promote(lt, rt), nulls=nulls)
         if op == "-":
-            return Value(kind, jnp.subtract(a, b), T.promote(lt, rt))
+            return Value(kind, jnp.subtract(a, b), T.promote(lt, rt), nulls=nulls)
         if op == "*":
-            return Value(kind, jnp.multiply(a, b), T.promote(lt, rt))
+            return Value(kind, jnp.multiply(a, b), T.promote(lt, rt), nulls=nulls)
         if op == "/":
             out_t = T.div_type(lt, rt)
             af = a.astype(jnp.dtype(out_t.np_dtype)) if hasattr(a, "astype") else a
-            return Value(kind, jnp.true_divide(af, b), out_t)
+            return Value(kind, jnp.true_divide(af, b), out_t, nulls=nulls)
         if op == "%":
-            return Value(kind, jnp.mod(a, b), T.promote(lt, rt))
+            return Value(kind, jnp.mod(a, b), T.promote(lt, rt), nulls=nulls)
         raise EvalError(f"unknown operator {op}")
+
+    def _kind_shape(self, kind: str) -> tuple:
+        if kind == "row":
+            return (self.ws.capacity,)
+        if kind == "group":
+            return (self.gcap,)
+        return ()
 
     def _like(self, lv: Value, rv: Value, kind: str) -> Value:
         """LIKE: SQL wildcard match. The pattern is matched against the
@@ -416,13 +483,23 @@ class EvalContext:
             return Value("scalar", t.nrows > 0, T.BoolT)
         v = self.eval(e.operand)
         if e.op == "-":
-            return Value(v.kind, jnp.negative(v.data), v.sqltype, v.dictionary)
+            if v.kind == "scalar" and v.data is None:
+                return v
+            return Value(v.kind, jnp.negative(v.data), v.sqltype,
+                         v.dictionary, nulls=v.nulls)
         if e.op == "not":
-            return Value(v.kind, jnp.logical_not(_as_bool(v.data)), T.BoolT)
+            if v.kind == "scalar" and v.data is None:
+                return v
+            # NOT NULL is NULL: nullness passes through unchanged
+            return Value(v.kind, jnp.logical_not(_as_bool(v.data)), T.BoolT,
+                         nulls=v.nulls)
         if e.op == "missing":
-            # columns currently track no null mask → nothing is missing
+            # IS NULL reads the validity mask (reference `missing`,
+            # common/types.py:359-364, real against MonetDB nulls)
             if v.kind == "scalar":
                 return Value("scalar", v.data is None, T.BoolT)
+            if v.nulls is not None:
+                return Value(v.kind, v.nulls, T.BoolT)
             return Value(v.kind, jnp.zeros(v.data.shape, jnp.bool_), T.BoolT)
         raise EvalError(f"unknown unary {e.op}")
 
@@ -431,13 +508,30 @@ class EvalContext:
         t = None
         default = self.eval(e.default) if e.default is not None else None
         acc = default
+        cap = self.ws.capacity
+        if acc is not None and acc.kind == "scalar" and acc.data is None:
+            acc = None                       # ELSE NULL ≡ no ELSE
         for cond, val in reversed(e.whens):
             c = self.to_row(self.eval(cond))
             v = self.to_row(self.eval(val))
             t = v.sqltype if t is None else T.promote(t, v.sqltype)
+            sel = _as_bool(c.data)
+            if c.nulls is not None:          # NULL condition never matches
+                sel = sel & ~c.nulls
             base = acc.data if acc is not None else jnp.zeros((), v.data.dtype)
-            res = jnp.where(_as_bool(c.data), v.data, base)
-            acc = Value("row", res, t)
+            res = jnp.where(sel, v.data, base)
+            # unmatched rows with no ELSE are NULL; branch nulls propagate
+            nullable = (v.nulls is not None or acc is None
+                        or acc.nulls is not None)
+            nulls = None
+            if nullable:
+                vn = v.nulls if v.nulls is not None else jnp.zeros(cap, jnp.bool_)
+                an = (jnp.ones(cap, jnp.bool_) if acc is None
+                      else acc.nulls if acc.nulls is not None
+                      else jnp.zeros(cap, jnp.bool_))
+                nulls = jnp.where(sel, jnp.broadcast_to(vn, (cap,)),
+                                  jnp.broadcast_to(an, (cap,)))
+            acc = Value("row", res, t, nulls=nulls)
         return acc if acc is not None else Value("scalar", None, T.DoubleT)
 
     def _index(self, e: A.Index) -> Value:
@@ -514,7 +608,15 @@ class EvalContext:
         # (aggregations.h:499-527)
         if args and args[0].kind == "scalar":
             return _scalar_agg_fallback(name, args)
-        return grouped_agg.compute(self, name, args)
+        # SQL aggregates skip NULLs: a null row behaves exactly like a
+        # subvec-masked-out row, so nulls fold into Value.mask
+        folded = []
+        for v in args:
+            if v.kind == "row" and v.nulls is not None:
+                m = ~v.nulls if v.mask is None else (v.mask & ~v.nulls)
+                v = replace(v, mask=m, nulls=None)
+            folded.append(v)
+        return grouped_agg.compute(self, name, folded)
 
     def _call_windowed(self, name: str, e: A.Call) -> Value:
         args = list(e.args)
@@ -566,6 +668,22 @@ class EvalContext:
 
 
 # --- helpers --------------------------------------------------------------
+
+def _or_nulls(a, b):
+    """Combine operand null masks: null if either side is null."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a | b
+
+
+def _not_null(nulls, like):
+    """Known-mask for Kleene logic; all-true when no null mask exists."""
+    if nulls is None:
+        return jnp.ones(jnp.shape(like), jnp.bool_) if hasattr(like, "shape") else True
+    return ~nulls
+
 
 def _result_kind(a: str, b: str) -> str:
     if "row" in (a, b):

@@ -271,10 +271,23 @@ class Executor:
 
         grouping = None
         key_value_list: list[Value] = []
+        key_sentinels: list = []
         if sel.group_by:
             ctx0 = EvalContext(ws, self.session)
             key_value_list = [ctx0.to_row(ctx0.eval(e)) for e in sel.group_by]
-            keys = [_KeyCol(v.data, ws.n) for v in key_value_list]
+            keys = []
+            for v in key_value_list:
+                # SQL groups all NULL keys together, distinct from every
+                # real value: substitute a sentinel one past the non-null
+                # max, and remember it so the output key column can carry
+                # the null mask back out
+                if v.kind == "row" and v.nulls is not None:
+                    data, sent = _null_key_sentinel(v.data, v.nulls, ws.n)
+                    key_sentinels.append(sent)
+                    keys.append(_KeyCol(data, ws.n))
+                else:
+                    key_sentinels.append(None)
+                    keys.append(_KeyCol(v.data, ws.n))
             grouping = gb.group_by(keys, ws.n)
             ws = ws.permuted(grouping.order, ws.n)
 
@@ -283,7 +296,8 @@ class Executor:
         projections = self._expand_projections(sel, ws)
         named: list[tuple[str, Value | tuple]] = []
         for name, expr in projections:
-            v = self._eval_projection(ctx, sel, expr, key_value_list, grouping)
+            v = self._eval_projection(ctx, sel, expr, key_value_list, grouping,
+                                      key_sentinels)
             named.append((name, v))
 
         table = self._materialize(ctx, named, has_groupby=grouping is not None)
@@ -387,6 +401,7 @@ class Executor:
 
     def _join(self, left: WorkingSet, right: WorkingSet, pairs) -> WorkingSet:
         lkeys, rkeys = [], []
+        lnulls = rnulls = None
         for (lq, lname), (rq, rname) in pairs:
             lv = left.column_value(lname, lq)
             rv = right.column_value(rname, rq)
@@ -395,7 +410,12 @@ class Executor:
                 rv = _translate_codes(rv, lv.dictionary)
             lkeys.append(lv.data)
             rkeys.append(rv.data)
-        li, ri, m = join_mod.equi_join(lkeys, rkeys, left.n, right.n)
+            if lv.nulls is not None:
+                lnulls = lv.nulls if lnulls is None else (lnulls | lv.nulls)
+            if rv.nulls is not None:
+                rnulls = rv.nulls if rnulls is None else (rnulls | rv.nulls)
+        li, ri, m = join_mod.equi_join(lkeys, rkeys, left.n, right.n,
+                                       lnulls, rnulls)
         cap = config.bucket_size(max(m, 1))
         li = li[:cap]
         ri = ri[:cap]
@@ -421,8 +441,14 @@ class Executor:
 
     def _apply_filter(self, ws: WorkingSet, mask_value: Value):
         mask = mask_value.data
+        if not hasattr(mask, "dtype"):      # python bool/None scalar
+            mask = jnp.full((ws.capacity,), bool(mask), jnp.bool_)
+        if mask.ndim == 0:
+            mask = jnp.broadcast_to(mask, (ws.capacity,))
         if mask.dtype != jnp.bool_:
             mask = mask != 0
+        if mask_value.nulls is not None:    # NULL predicate excludes the row
+            mask = mask & ~jnp.broadcast_to(mask_value.nulls, mask.shape)
         idx = jnp.arange(mask.shape[0], dtype=jnp.int32)
         mask = mask & (idx < ws.n)
         perm, cnt = filter_ops.compact_indices(mask)
@@ -454,7 +480,7 @@ class Executor:
         return out
 
     def _eval_projection(self, ctx: EvalContext, sel: A.Select, expr,
-                         key_value_list, grouping) -> Value:
+                         key_value_list, grouping, key_sentinels=()) -> Value:
         if isinstance(expr, Value):           # pre-resolved (SELECT *)
             return expr
         if isinstance(expr, tuple):           # (si, VectorColumn) from *
@@ -467,7 +493,14 @@ class Executor:
                 gcap = ctx.gcap
                 if data.shape[0] < gcap:
                     data = jnp.pad(data, (0, gcap - data.shape[0]))
-                return Value("group", data[:gcap], kv.sqltype, kv.dictionary)
+                data = data[:gcap]
+                nulls = None
+                sent = key_sentinels[ki] if ki < len(key_sentinels) else None
+                if sent is not None:            # restore the NULL-group key
+                    nulls = data == jnp.asarray(sent, data.dtype)
+                    data = jnp.where(nulls, jnp.zeros((), data.dtype), data)
+                return Value("group", data, kv.sqltype, kv.dictionary,
+                             nulls=nulls)
         return ctx.eval(expr)
 
     # -- materialization ---------------------------------------------------
@@ -531,16 +564,19 @@ class Executor:
             val = _host_item(v.data)
             arr = np.full(nrows, val if val is not None else 0,
                           dtype=t.np_dtype)
-            return Column(name, t, arr, nrows=nrows)
+            valid = (np.zeros(nrows, bool) if val is None
+                     else None)                       # NULL literal column
+            return Column(name, t, arr, nrows=nrows, valid=valid)
 
         if v.kind == "group":
             data = v.data
             if has_groupby:
                 return Column(name, v.sqltype, data[: max(ctx.G, 1)],
-                              nrows=ctx.G, dictionary=v.dictionary)
+                              nrows=ctx.G, dictionary=v.dictionary,
+                              valid=_valid_of(v, max(ctx.G, 1)))
             # trivial group (whole-table agg) → single row
             return Column(name, v.sqltype, data[:1], nrows=nrows,
-                          dictionary=v.dictionary)
+                          dictionary=v.dictionary, valid=_valid_of(v, 1))
 
         # row kind
         if not has_groupby:
@@ -548,10 +584,13 @@ class Executor:
                 perm, cnt = filter_ops.compact_indices(
                     v.mask & (jnp.arange(v.mask.shape[0]) < ctx.ws.n))
                 n2 = int(cnt)
+                valid = (~v.nulls[perm][:max(n2, 1)]
+                         if v.nulls is not None else None)
                 return Column(name, v.sqltype, v.data[perm][:max(n2, 1)],
-                              nrows=n2, dictionary=v.dictionary)
+                              nrows=n2, dictionary=v.dictionary, valid=valid)
             return Column(name, v.sqltype, v.data, nrows=nrows,
-                          dictionary=v.dictionary)
+                          dictionary=v.dictionary,
+                          valid=_valid_of(v, v.data.shape[0]))
 
         # grouped ragged output: one vector per group
         offsets = ctx.np_offsets()
@@ -761,6 +800,33 @@ def _derive_name(e: A.Expr) -> str:
     return f"col_{base62uuid(4)}"
 
 
+def _valid_of(v, k: int):
+    """Validity mask of length k from a Value's null mask, or None."""
+    if v.nulls is None:
+        return None
+    nulls = v.nulls
+    if not hasattr(nulls, "shape") or nulls.ndim == 0:
+        return jnp.broadcast_to(~jnp.asarray(nulls, jnp.bool_), (k,))
+    return ~nulls[:k]
+
+
+def _null_key_sentinel(data, nulls, n: int):
+    """Substitute NULL key rows with a sentinel one past the non-null max
+    so SQL's 'all NULLs form one group' holds. Returns (data', sentinel)."""
+    idx = jnp.arange(data.shape[0], dtype=jnp.int32)
+    ok = (idx < n) & ~nulls
+    if data.dtype.kind == "f":
+        sent = jnp.inf
+        return jnp.where(nulls, jnp.asarray(sent, data.dtype), data), sent
+    d64 = data.astype(jnp.int64)
+    mx = jnp.max(jnp.where(ok, d64, jnp.iinfo(jnp.int64).min))
+    sent = int(max(int(mx), -2**62)) + 1
+    wide = jnp.where(nulls, jnp.asarray(sent, jnp.int64), d64)
+    if sent <= jnp.iinfo(data.dtype).max:
+        return wide.astype(data.dtype), sent
+    return wide, sent
+
+
 def _host_item(x):
     if hasattr(x, "shape"):
         a = np.asarray(x)
@@ -780,8 +846,16 @@ def _sort_key_of(col, n: int) -> np.ndarray:
     if col.sqltype.is_string and col.dictionary is not None:
         ranks = col.dictionary.ranks
         codes = np.asarray(col.data[:n])
-        return ranks[np.clip(codes, 0, max(len(ranks) - 1, 0))]
-    return np.asarray(col.data[:n])
+        key = ranks[np.clip(codes, 0, max(len(ranks) - 1, 0))]
+    else:
+        key = np.asarray(col.data[:n])
+    if getattr(col, "valid", None) is not None:
+        # NULLs sort first ascending (MonetDB convention): dtype minimum
+        ok = np.asarray(col.valid[:n])
+        small = (np.iinfo(key.dtype).min if key.dtype.kind in "iu"
+                 else -np.inf if key.dtype.kind == "f" else 0)
+        key = np.where(ok, key, small)
+    return key
 
 
 def _take_table(table: Table, idx: np.ndarray) -> Table:
@@ -801,8 +875,12 @@ def _take_table(table: Table, idx: np.ndarray) -> Table:
                 c.name, c.sqltype, lists, dictionary=c.dictionary)
         else:
             data = np.asarray(c.data)[idx] if k else np.zeros(0, c.data.dtype)
+            valid = None
+            if c.valid is not None:
+                valid = (np.asarray(c.valid)[idx] if k
+                         else np.zeros(0, bool))
             out.columns[c.name] = Column(c.name, c.sqltype, data, nrows=k,
-                                         dictionary=c.dictionary)
+                                         dictionary=c.dictionary, valid=valid)
     return out
 
 

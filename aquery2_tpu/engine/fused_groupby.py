@@ -586,6 +586,8 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
         walk(p["having"])
 
     col_order = sorted(referenced)
+    if table.has_nulls(col_order):
+        return None          # nullable columns: null-aware general path
     arrays = [cols[name].data for name in col_order]
 
     fingerprint = (

@@ -47,6 +47,8 @@ def try_run(session, sel: A.Select) -> Table | None:
         rt = session.catalog.get(sel.sources[1].name)
     except KeyError:
         return None
+    if lt.has_nulls() or rt.has_nulls():
+        return None          # nullable columns: null-aware general path
 
     def resolve(ref: A.ColumnRef):
         for src, tbl in ((sel.sources[0], lt), (sel.sources[1], rt)):

@@ -305,6 +305,8 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
     if p["where"] is not None:
         walk(p["where"])
     col_order = sorted(referenced)
+    if table.has_nulls(col_order):
+        return None          # nullable columns: null-aware general path
     arrays = [cols[nm].data for nm in col_order]
     cap = int(arrays[0].shape[0])
     scatters = fg._needed_scatters(p["aggs"])

@@ -89,6 +89,8 @@ def try_run(session, sel: A.Select):
         tables = [session.catalog.get(s.name) for s in sources]
     except KeyError:
         return None
+    if any(t.has_nulls() for t in tables):
+        return None          # nullable columns: null-aware general path
     aliases = [(s.alias or s.name).lower() for s in sources]
 
     def side_of(ref: A.ColumnRef):

@@ -27,12 +27,19 @@ from aquery2_tpu.ops import hashing, ragged
 from aquery2_tpu.ops.sort import sort_perm
 
 
-def _key_hash(cols: list[jax.Array], n: int) -> jax.Array:
+def _key_hash(cols: list[jax.Array], n: int,
+              nulls: jax.Array | None = None,
+              null_sentinel: int = 0xFFFFFFFFFFFFFFFE) -> jax.Array:
     hs = [hashing.hash64(c.astype(jnp.int64)) for c in cols]
     h = hs[0] if len(hs) == 1 else hashing.combine_hashes(hs)
     # make padding rows un-matchable
     idx = jnp.arange(h.shape[0], dtype=jnp.int32)
-    return jnp.where(idx < n, h, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    h = jnp.where(idx < n, h, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    if nulls is not None:
+        # SQL: NULL = NULL is not true — null keys never match. Each side
+        # gets a DIFFERENT sentinel so null-vs-null can't pair either.
+        h = jnp.where(nulls, jnp.uint64(null_sentinel), h)
+    return h
 
 
 def _order_preserving_i64(h: jax.Array) -> jax.Array:
@@ -41,9 +48,12 @@ def _order_preserving_i64(h: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def _probe_counts(lkeys: tuple, rkeys: tuple, ln, rn):
-    lh = _order_preserving_i64(_key_hash(list(lkeys), ln))
-    rh = _order_preserving_i64(_key_hash(list(rkeys), rn))
+def _probe_counts(lkeys: tuple, rkeys: tuple, ln, rn,
+                  lnulls=None, rnulls=None):
+    lh = _order_preserving_i64(
+        _key_hash(list(lkeys), ln, lnulls, 0xFFFFFFFFFFFFFFFE))
+    rh = _order_preserving_i64(
+        _key_hash(list(rkeys), rn, rnulls, 0xFFFFFFFFFFFFFFFD))
     perm_r = sort_perm([(rh, True)], rn)
     rh_sorted = rh[perm_r]
     # method="sort": batched search via one big sort — the default "scan"
@@ -72,13 +82,17 @@ def _expand_pairs(counts, total, lo, perm_r, lkeys: tuple, rkeys: tuple, total_c
     return li[cperm], ri[cperm], m
 
 
-def equi_join(lkeys: list[jax.Array], rkeys: list[jax.Array], ln: int, rn: int):
+def equi_join(lkeys: list[jax.Array], rkeys: list[jax.Array], ln: int, rn: int,
+              lnulls: jax.Array | None = None,
+              rnulls: jax.Array | None = None):
     """Inner equi-join. Returns (li, ri, m): row-index arrays (padded) into
     the left/right tables and the number of result pairs (host int).
 
     Key arrays must already be comparable (string columns translated into a
-    common dictionary by the caller)."""
-    counts, total, lo, perm_r = _probe_counts(tuple(lkeys), tuple(rkeys), ln, rn)
+    common dictionary by the caller). lnulls/rnulls: optional per-row
+    null-key masks — null keys never match (SQL semantics)."""
+    counts, total, lo, perm_r = _probe_counts(tuple(lkeys), tuple(rkeys),
+                                              ln, rn, lnulls, rnulls)
     t = int(total)
     total_cap = config.bucket_size(max(t, 1))
     li, ri, m = _expand_pairs(counts, total, lo, perm_r,

@@ -47,6 +47,15 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_char_p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_void_p), ctypes.c_int64, ctypes.c_int,
         ]
+        lib.aq_csv_parse2.restype = ctypes.c_int
+        lib.aq_csv_parse2.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_void_p),      # uint8* validity buffers
+            ctypes.POINTER(ctypes.c_int64),       # per-column null counts
+            ctypes.c_int64, ctypes.c_int,
+        ]
         _lib = lib
     except OSError:
         _lib = None
@@ -57,9 +66,13 @@ _SPEC = {"int32": b"i", "int64": b"l", "float32": b"f", "float64": b"d"}
 
 
 def parse_numeric_csv(path: str, dtypes: list[np.dtype], sep: str,
-                      skip_header: bool) -> list[np.ndarray] | None:
-    """Parse an all-numeric CSV with the native scanner. Returns column
-    arrays, or None if unsupported/unavailable."""
+                      skip_header: bool
+                      ) -> tuple[list[np.ndarray],
+                                 list[np.ndarray | None]] | None:
+    """Parse an all-numeric CSV with the native scanner. Returns
+    (column arrays, per-column validity masks or None when no cell was
+    empty), or None if unsupported/unavailable. Empty cells are SQL
+    NULLs: value 0 + validity False."""
     lib = get_lib()
     if lib is None:
         return None
@@ -74,14 +87,20 @@ def parse_numeric_csv(path: str, dtypes: list[np.dtype], sep: str,
     total = lib.aq_csv_count_rows(data, len(data), sep.encode()[0])
     nrows = int(total) - (1 if skip_header else 0)
     if nrows <= 0:
-        return [np.zeros(0, dt) for dt in dtypes]
+        return [np.zeros(0, dt) for dt in dtypes], [None] * len(dtypes)
     cols = [np.empty(nrows, dt) for dt in dtypes]
+    valids = [np.empty(nrows, np.uint8) for _ in dtypes]
     ptrs = (ctypes.c_void_p * len(cols))(
         *[c.ctypes.data_as(ctypes.c_void_p) for c in cols])
+    vptrs = (ctypes.c_void_p * len(cols))(
+        *[v.ctypes.data_as(ctypes.c_void_p) for v in valids])
+    null_counts = (ctypes.c_int64 * len(cols))()
     nthreads = min(os.cpu_count() or 1, 16)
-    rc = lib.aq_csv_parse(data, len(data), sep.encode()[0],
-                          1 if skip_header else 0, spec, len(cols),
-                          ptrs, nrows, nthreads)
+    rc = lib.aq_csv_parse2(data, len(data), sep.encode()[0],
+                           1 if skip_header else 0, spec, len(cols),
+                           ptrs, vptrs, null_counts, nrows, nthreads)
     if rc != 0:
         return None
-    return cols
+    masks = [valids[i].astype(bool) if null_counts[i] else None
+             for i in range(len(cols))]
+    return cols, masks

@@ -87,14 +87,25 @@ struct ChunkJob {
     int64_t row_offset;    // first row index of this chunk
 };
 
+static inline bool cell_is_empty(const char* p, const char* end, char sep) {
+    p = skip_ws(p, end);
+    return p >= end || *p == sep || *p == '\n';
+}
+
 static void parse_chunk(const ChunkJob& job, char sep, const char* colspec,
-                        int ncols, void** out_cols, int64_t nrows, int* err) {
+                        int ncols, void** out_cols, uint8_t** out_valid,
+                        int64_t* null_counts, int64_t nrows, int* err) {
     const char* p = job.begin;
     const char* end = job.end;
     int64_t row = job.row_offset;
     while (p < end && row < nrows) {
         for (int c = 0; c < ncols; ++c) {
             const char* q = p;
+            // empty cell = SQL NULL (reference loads via MonetDB COPY,
+            // which nulls empties): store 0 + validity 0
+            bool empty = cell_is_empty(p, end, sep);
+            if (empty && null_counts) null_counts[c]++;
+            if (out_valid && out_valid[c]) out_valid[c][row] = !empty;
             switch (colspec[c]) {
                 case 'i':
                     ((int32_t*)out_cols[c])[row] = (int32_t)parse_i64(p, end, &q);
@@ -123,9 +134,13 @@ static void parse_chunk(const ChunkJob& job, char sep, const char* colspec,
     }
 }
 
-int aq_csv_parse(const char* data, int64_t len, char sep, int skip,
-                 const char* colspec, int ncols, void** out_cols,
-                 int64_t nrows, int nthreads) {
+// out_valid: per-column uint8 validity buffers (may be NULL, or hold NULL
+// entries) — 1 = value present, 0 = empty cell (SQL NULL).
+// null_counts: per-column running totals of empty cells (may be NULL).
+int aq_csv_parse2(const char* data, int64_t len, char sep, int skip,
+                  const char* colspec, int ncols, void** out_cols,
+                  uint8_t** out_valid, int64_t* null_counts,
+                  int64_t nrows, int nthreads) {
     if (ncols <= 0 || nrows < 0) return -1;
     const char* p = data;
     const char* end = data + len;
@@ -137,7 +152,8 @@ int aq_csv_parse(const char* data, int64_t len, char sep, int skip,
     if (nthreads == 1 || nrows < 65536) {
         int err = 0;
         ChunkJob job{p, end, 0};
-        parse_chunk(job, sep, colspec, ncols, out_cols, nrows, &err);
+        parse_chunk(job, sep, colspec, ncols, out_cols, out_valid,
+                    null_counts, nrows, &err);
         return err;
     }
     // split body into nthreads chunks on row boundaries; we must know the
@@ -172,16 +188,31 @@ int aq_csv_parse(const char* data, int64_t len, char sep, int skip,
         for (int t = 0; t < nthreads; ++t) { offsets[t] = acc; acc += counts[t]; }
     }
     std::vector<int> errs(nthreads, 0);
+    std::vector<std::vector<int64_t>> tnulls(
+        nthreads, std::vector<int64_t>(ncols, 0));
     std::vector<std::thread> workers;
     for (int t = 0; t < nthreads; ++t) {
         ChunkJob job{starts[t], starts[t + 1], offsets[t]};
         workers.emplace_back([&, job, t] {
-            parse_chunk(job, sep, colspec, ncols, out_cols, nrows, &errs[t]);
+            parse_chunk(job, sep, colspec, ncols, out_cols, out_valid,
+                        null_counts ? tnulls[t].data() : nullptr,
+                        nrows, &errs[t]);
         });
     }
     for (auto& th : workers) th.join();
+    if (null_counts)
+        for (int t = 0; t < nthreads; ++t)
+            for (int c = 0; c < ncols; ++c) null_counts[c] += tnulls[t][c];
     for (int e : errs) if (e) return e;
     return 0;
+}
+
+// legacy entry (no null tracking) kept for ABI stability
+int aq_csv_parse(const char* data, int64_t len, char sep, int skip,
+                 const char* colspec, int ncols, void** out_cols,
+                 int64_t nrows, int nthreads) {
+    return aq_csv_parse2(data, len, sep, skip, colspec, ncols, out_cols,
+                         nullptr, nullptr, nrows, nthreads);
 }
 
 }  // extern "C"

@@ -26,6 +26,8 @@ from aquery2_tpu.storage.table import Column, StringDict, Table, VectorColumn
 
 def _parse_cell(t: T.SQLType, tok: str):
     tok = tok.strip()
+    if tok == "" and t.kind != "str":
+        return None                     # empty cell → SQL NULL
     if t.kind == "int":
         return int(tok)
     if t.kind == "float":
@@ -76,14 +78,15 @@ def _load_native(table: Table, path: str, sep: str) -> int | None:
     with open(path) as f:
         first = f.readline().rstrip("\n").split(sep)
     skip_header = not _line_parses(schema, first)
-    cols = native.parse_numeric_csv(
+    res = native.parse_numeric_csv(
         path, [t.np_dtype for _, t in schema], sep, skip_header)
-    if cols is None:
+    if res is None:
         return None
+    cols, masks = res
     from aquery2_tpu.storage.table import _append_column
 
-    for (name, t), arr in zip(schema, cols):
-        add = Column(name, t, arr)
+    for (name, t), arr, valid in zip(schema, cols, masks):
+        add = Column(name, t, arr, valid=valid)
         table.columns[name] = _append_column(table.columns[name], add)
     return len(cols[0]) if cols else 0
 
@@ -122,7 +125,14 @@ def _load_pandas(table: Table, path: str, sep: str) -> int | None:
             vals = [T.parse_temporal_literal(t, str(v)) for v in s.tolist()]
             add = Column(name, t, np.asarray(vals, dtype=t.np_dtype))
         else:
-            add = Column(name, t, s.to_numpy().astype(t.np_dtype, copy=False))
+            arr = s.to_numpy().astype(t.np_dtype, copy=False)
+            valid = None
+            if t.kind == "float":
+                nan = np.isnan(arr)
+                if nan.any():           # empty cells → NaN → NULL
+                    valid = ~nan
+                    arr = np.where(nan, 0.0, arr)
+            add = Column(name, t, arr, valid=valid)
         newcols.append(add)
     from aquery2_tpu.storage.table import _append_column
 
@@ -169,6 +179,8 @@ def _load_python(table: Table, path: str, field_sep: str, element_sep: str) -> i
             d = col.dictionary if col.dictionary is not None else StringDict()
             arr = d.encode([str(v) for v in host_cols[j]])
             add = Column(name, t, arr, dictionary=d)
+        elif any(v is None for v in host_cols[j]):
+            add = Column.from_host(name, t, host_cols[j])   # nulls → mask
         else:
             add = Column(name, t, np.asarray(host_cols[j], dtype=t.np_dtype))
         table.columns[name] = _append_column(col, add)

@@ -149,19 +149,26 @@ class Column:
         cls, name: str, sqltype: T.SQLType, values: Sequence[Any] | np.ndarray,
         dictionary: StringDict | None = None,
     ) -> "Column":
+        # None values become SQL NULLs: stored as 0 + validity False
+        valid = None
+        if not isinstance(values, np.ndarray) and any(v is None for v in values):
+            valid = np.asarray([v is not None for v in values], dtype=bool)
+            values = [v if v is not None else 0 for v in values]
+            if sqltype.is_string:
+                values = [v if isinstance(v, str) else "" for v in values]
         if sqltype.is_string:
             d = dictionary if dictionary is not None else StringDict()
             codes = d.encode(list(values))
-            return cls(name, sqltype, codes, dictionary=d)
+            return cls(name, sqltype, codes, dictionary=d, valid=valid)
         if sqltype.is_temporal:
             vals = [
                 v if isinstance(v, (int, np.integer)) else T.parse_temporal_literal(sqltype, str(v))
                 for v in values
             ]
             arr = np.asarray(vals, dtype=sqltype.np_dtype)
-            return cls(name, sqltype, arr)
+            return cls(name, sqltype, arr, valid=valid)
         arr = np.asarray(values, dtype=sqltype.np_dtype)
-        return cls(name, sqltype, arr)
+        return cls(name, sqltype, arr, valid=valid)
 
     # -- properties --------------------------------------------------------
 
@@ -185,8 +192,11 @@ class Column:
                 idx = jnp.arange(self.capacity)
                 big = jnp.iinfo(self.data.dtype).max if self.data.dtype.kind in "iu" else jnp.inf
                 small = jnp.iinfo(self.data.dtype).min if self.data.dtype.kind in "iu" else -jnp.inf
-                mn = jnp.min(jnp.where(idx < n, d, big))
-                mx = jnp.max(jnp.where(idx < n, d, small))
+                ok = idx < n
+                if self.valid is not None:
+                    ok = ok & self.valid[: self.capacity]
+                mn = jnp.min(jnp.where(ok, d, big))
+                mx = jnp.max(jnp.where(ok, d, small))
                 self._stats = (int(mn), int(mx))
         return self._stats
 
@@ -197,18 +207,23 @@ class Column:
         return np.asarray(self.data[: self.nrows])
 
     def to_python(self) -> list[Any]:
-        """Display values: decoded strings, formatted dates."""
+        """Display values: decoded strings, formatted dates, None for NULLs."""
         raw = self.to_numpy()
         t = self.sqltype
         if t.is_string and self.dictionary is not None:
-            return list(self.dictionary.decode(raw))
-        if t.kind == "date":
-            return [T.format_date(v) for v in raw]
-        if t.kind == "time":
-            return [T.format_time(v) for v in raw]
-        if t.kind == "timestamp":
-            return [T.format_timestamp(v) for v in raw]
-        return raw.tolist()
+            out = list(self.dictionary.decode(raw))
+        elif t.kind == "date":
+            out = [T.format_date(v) for v in raw]
+        elif t.kind == "time":
+            out = [T.format_time(v) for v in raw]
+        elif t.kind == "timestamp":
+            out = [T.format_timestamp(v) for v in raw]
+        else:
+            out = raw.tolist()
+        if self.valid is not None:
+            ok = np.asarray(self.valid[: self.nrows])
+            out = [v if k else None for v, k in zip(out, ok)]
+        return out
 
     def with_name(self, name: str) -> "Column":
         c = Column.__new__(Column)
@@ -368,6 +383,13 @@ class Table:
     def schema(self) -> list[tuple[str, T.SQLType]]:
         return [(c.name, c.sqltype) for c in self.columns.values()]
 
+    def has_nulls(self, names: Iterable[str] | None = None) -> bool:
+        """True if any (named) column carries a validity mask — used by the
+        fused fast paths to fall back to the null-aware general executor."""
+        cols = (self.columns.values() if names is None
+                else [self.columns[n] for n in names if n in self.columns])
+        return any(getattr(c, "valid", None) is not None for c in cols)
+
     # -- data --------------------------------------------------------------
 
     def append_rows(self, rows: Sequence[Sequence[Any]]) -> None:
@@ -445,4 +467,10 @@ def _append_column(col: Column | VectorColumn, src: Column | VectorColumn) -> Co
             )
             b = jnp.asarray(remap)[b] if len(remap) else b
     out = jnp.concatenate([a, b.astype(a.dtype)])
-    return Column(col.name, col.sqltype, out, nrows=n1 + n2, dictionary=dictionary)
+    valid = None
+    if col.valid is not None or src.valid is not None:
+        va = col.valid[:n1] if col.valid is not None else jnp.ones(n1, jnp.bool_)
+        vb = src.valid[:n2] if src.valid is not None else jnp.ones(n2, jnp.bool_)
+        valid = jnp.concatenate([va, vb])
+    return Column(col.name, col.sqltype, out, nrows=n1 + n2,
+                  dictionary=dictionary, valid=valid)
