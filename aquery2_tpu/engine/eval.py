@@ -76,11 +76,16 @@ class WorkingSet:
     every column eagerly; gathered columns are cached."""
 
     def __init__(self, sources: list[tuple[str | None, Table]],
-                 indices: list[jax.Array | None], n: int, capacity: int):
+                 indices: list[jax.Array | None], n: int, capacity: int,
+                 missing: list[jax.Array | None] | None = None):
         self.sources = sources          # [(alias, Table)]
         self.indices = indices          # per source
         self.n = n
         self.capacity = capacity
+        # per-source row mask: True = this source contributed NO row here
+        # (outer-join null side) — every column of that source reads NULL
+        self.missing = missing if missing is not None \
+            else [None] * len(sources)
         self._cache: dict[tuple[int, str], jax.Array] = {}
 
     @classmethod
@@ -127,21 +132,28 @@ class WorkingSet:
         return out
 
     def gather_nulls(self, si: int, col: Column) -> jax.Array | None:
-        """Null mask (True = null) in working-set row order, or None."""
-        if col.valid is None:
+        """Null mask (True = null) in working-set row order, or None.
+        Folds in the source's outer-join missing mask."""
+        miss = self.missing[si]
+        if col.valid is None and miss is None:
             return None
         key = (si, "\0nulls\0" + col.name.lower())
         hit = self._cache.get(key)
         if hit is not None:
             return hit
-        nulls = ~col.valid
-        idx = self.indices[si]
-        if idx is None:
-            out = nulls[: self.capacity]
-            if out.shape[0] < self.capacity:
-                out = jnp.pad(out, (0, self.capacity - out.shape[0]))
+        if col.valid is None:
+            out = miss[: self.capacity]
         else:
-            out = nulls[jnp.clip(idx[: self.capacity], 0, col.capacity - 1)]
+            nulls = ~col.valid
+            idx = self.indices[si]
+            if idx is None:
+                out = nulls[: self.capacity]
+                if out.shape[0] < self.capacity:
+                    out = jnp.pad(out, (0, self.capacity - out.shape[0]))
+            else:
+                out = nulls[jnp.clip(idx[: self.capacity], 0, col.capacity - 1)]
+            if miss is not None:
+                out = out | miss[: self.capacity]
         self._cache[key] = out
         return out
 
@@ -188,7 +200,10 @@ class WorkingSet:
                 idxs.append(perm)
             else:
                 idxs.append(idx[jnp.clip(perm, 0, idx.shape[0] - 1)])
-        return WorkingSet(self.sources, idxs, new_n, new_cap)
+        miss = [None if m is None
+                else m[jnp.clip(perm, 0, m.shape[0] - 1)]
+                for m in self.missing]
+        return WorkingSet(self.sources, idxs, new_n, new_cap, missing=miss)
 
 
 @dataclass

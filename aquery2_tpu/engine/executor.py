@@ -307,9 +307,12 @@ class Executor:
 
         for kind, sub in sel.unions:
             sub_t = self.run_select(sub)
-            table.append_table(sub_t)
-            if kind == "distinct":
-                table = self._distinct(table)
+            if kind in ("all", "distinct"):
+                table.append_table(sub_t)
+                if kind == "distinct":
+                    table = self._distinct(table)
+            else:   # EXCEPT [ALL] / INTERSECT [ALL]
+                table = self._set_op(table, sub_t, kind)
 
         if sel.distinct:
             table = self._distinct(table)
@@ -377,7 +380,9 @@ class Executor:
                 raise ExecError("CROSS JOIN not supported yet")
             else:
                 raise ExecError("JOIN requires ON/USING")
-            return self._join(left, right, pairs)
+            jkind = src.kind if src.kind in ("left", "right", "full") \
+                else "inner"
+            return self._join(left, right, pairs, kind=jkind)
 
         ws = build(sel.sources[0])
         for src in sel.sources[1:]:
@@ -399,7 +404,8 @@ class Executor:
         residual = _join_conjuncts([c for i, c in enumerate(conjuncts) if not used[i]])
         return ws, residual
 
-    def _join(self, left: WorkingSet, right: WorkingSet, pairs) -> WorkingSet:
+    def _join(self, left: WorkingSet, right: WorkingSet, pairs,
+              kind: str = "inner") -> WorkingSet:
         lkeys, rkeys = [], []
         lnulls = rnulls = None
         for (lq, lname), (rq, rname) in pairs:
@@ -414,18 +420,38 @@ class Executor:
                 lnulls = lv.nulls if lnulls is None else (lnulls | lv.nulls)
             if rv.nulls is not None:
                 rnulls = rv.nulls if rnulls is None else (rnulls | rv.nulls)
-        li, ri, m = join_mod.equi_join(lkeys, rkeys, left.n, right.n,
-                                       lnulls, rnulls)
-        cap = config.bucket_size(max(m, 1))
-        li = li[:cap]
-        ri = ri[:cap]
+        if kind in ("left", "right", "full"):
+            li, ri, m = join_mod.outer_join(lkeys, rkeys, left.n, right.n,
+                                            kind, lnulls, rnulls)
+            cap = config.bucket_size(max(m, 1))
+            li = jnp.asarray(np.pad(li, (0, cap - m)))
+            ri = jnp.asarray(np.pad(ri, (0, cap - m)))
+        else:
+            li, ri, m = join_mod.equi_join(lkeys, rkeys, left.n, right.n,
+                                           lnulls, rnulls)
+            cap = config.bucket_size(max(m, 1))
+            li = li[:cap]
+            ri = ri[:cap]
+        miss_l = li < 0          # outer-join null side (reads as all-NULL)
+        miss_r = ri < 0
         sources = left.sources + right.sources
         indices: list = []
-        for idx in left.indices:
-            indices.append(li if idx is None else idx[jnp.clip(li, 0, idx.shape[0] - 1)])
-        for idx in right.indices:
-            indices.append(ri if idx is None else idx[jnp.clip(ri, 0, idx.shape[0] - 1)])
-        return WorkingSet(sources, indices, m, cap)
+        missing: list = []
+        for idx, om in zip(left.indices, left.missing):
+            indices.append(li if idx is None
+                           else idx[jnp.clip(li, 0, idx.shape[0] - 1)])
+            nm = om[jnp.clip(li, 0, om.shape[0] - 1)] if om is not None else None
+            if kind in ("right", "full"):
+                nm = miss_l if nm is None else (nm | miss_l)
+            missing.append(nm)
+        for idx, om in zip(right.indices, right.missing):
+            indices.append(ri if idx is None
+                           else idx[jnp.clip(ri, 0, idx.shape[0] - 1)])
+            nm = om[jnp.clip(ri, 0, om.shape[0] - 1)] if om is not None else None
+            if kind in ("left", "full"):
+                nm = miss_r if nm is None else (nm | miss_r)
+            missing.append(nm)
+        return WorkingSet(sources, indices, m, cap, missing=missing)
 
     def _apply_assuming(self, ws: WorkingSet, assumptions) -> WorkingSet:
         keys = []
@@ -655,6 +681,75 @@ class Executor:
             fv = grouped_agg.compute(ctx, "first", [v])
             return np.asarray(fv.data)[: table.nrows]
         return np.asarray(v.data)[: table.nrows]
+
+    def _set_op(self, left: Table, right: Table, kind: str) -> Table:
+        """EXCEPT [ALL] / INTERSECT [ALL] (reference except_clause,
+        engine/ast.py:1143-1155 — executed by MonetDB there). Row-exact
+        host-side set algebra over decoded tuples: result tables are
+        post-aggregation and small, and tuple equality is exact where a
+        64-bit row hash would not be. Left-input row order is preserved;
+        the distinct forms dedupe the left side."""
+        if left.ncols != right.ncols:
+            raise ExecError("set operation requires equal column counts")
+        if any(isinstance(c, VectorColumn) for c in
+               list(left.columns.values()) + list(right.columns.values())):
+            raise ExecError("set operations over vector columns not supported")
+        lrows = Result(left).rows()
+        rrows = Result(right).rows()
+        out_rows: list[tuple]
+        if kind == "except":
+            rset = set(rrows)
+            seen: set = set()
+            out_rows = []
+            for r in lrows:
+                if r not in rset and r not in seen:
+                    seen.add(r)
+                    out_rows.append(r)
+        elif kind == "except_all":      # bag difference
+            from collections import Counter
+
+            budget = Counter(rrows)
+            out_rows = []
+            for r in lrows:
+                if budget[r] > 0:
+                    budget[r] -= 1
+                else:
+                    out_rows.append(r)
+        elif kind == "intersect":
+            rset = set(rrows)
+            seen = set()
+            out_rows = []
+            for r in lrows:
+                if r in rset and r not in seen:
+                    seen.add(r)
+                    out_rows.append(r)
+        elif kind == "intersect_all":   # bag intersection
+            from collections import Counter
+
+            budget = Counter(rrows)
+            out_rows = []
+            for r in lrows:
+                if budget[r] > 0:
+                    budget[r] -= 1
+                    out_rows.append(r)
+        else:
+            raise ExecError(f"unknown set operation {kind}")
+
+        out = Table.__new__(Table)
+        out.name = left.name
+        from aquery2_tpu.utils import CaseInsensitiveDict
+
+        out.columns = CaseInsensitiveDict()
+        out.sorted_by = ()
+        for j, c in enumerate(left.columns.values()):
+            vals = [r[j] for r in out_rows]
+            if c.sqltype.is_temporal:
+                # Result.rows() formatted temporals back to strings
+                out.columns[c.name] = Column.from_host(c.name, c.sqltype, vals)
+            else:
+                out.columns[c.name] = Column.from_host(
+                    c.name, c.sqltype, vals, dictionary=c.dictionary)
+        return out
 
     def _distinct(self, table: Table) -> Table:
         """Deduplicate rows (reference `distinct` via record-hash set,

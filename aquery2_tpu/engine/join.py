@@ -98,3 +98,38 @@ def equi_join(lkeys: list[jax.Array], rkeys: list[jax.Array], ln: int, rn: int,
     li, ri, m = _expand_pairs(counts, total, lo, perm_r,
                               tuple(lkeys), tuple(rkeys), total_cap)
     return li, ri, int(m)
+
+
+def outer_join(lkeys: list[jax.Array], rkeys: list[jax.Array],
+               ln: int, rn: int, kind: str,
+               lnulls: jax.Array | None = None,
+               rnulls: jax.Array | None = None):
+    """LEFT/RIGHT/FULL outer equi-join (reference parses these via
+    aquery_parser/parser.py:149 and executes through MonetDB; here the
+    searchsorted probe's verified pairs mark matched rows and the
+    unmatched side emits index -1, which the WorkingSet surfaces as an
+    all-NULL source row).
+
+    Returns (li, ri, m): int32 host arrays of length m; -1 marks the
+    missing side."""
+    li, ri, m = equi_join(lkeys, rkeys, ln, rn, lnulls, rnulls)
+    li_np = np.asarray(li[:m], dtype=np.int64)
+    ri_np = np.asarray(ri[:m], dtype=np.int64)
+    parts_l, parts_r = [li_np], [ri_np]
+    if kind in ("left", "full"):
+        matched = np.zeros(ln, dtype=bool)
+        if m:
+            matched[li_np] = True
+        ul = np.nonzero(~matched)[0]
+        parts_l.append(ul)
+        parts_r.append(np.full(len(ul), -1, dtype=np.int64))
+    if kind in ("right", "full"):
+        matched = np.zeros(rn, dtype=bool)
+        if m:
+            matched[ri_np] = True
+        ur = np.nonzero(~matched)[0]
+        parts_l.append(np.full(len(ur), -1, dtype=np.int64))
+        parts_r.append(ur)
+    lo_all = np.concatenate(parts_l).astype(np.int32)
+    ro_all = np.concatenate(parts_r).astype(np.int32)
+    return lo_all, ro_all, len(lo_all)

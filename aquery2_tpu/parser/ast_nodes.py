@@ -94,7 +94,7 @@ class TableSource:
 class JoinSource:
     left: "Source"
     right: "Source"
-    kind: str = "inner"          # 'inner' | 'natural' | 'cross'
+    kind: str = "inner"  # 'inner' | 'natural' | 'cross' | 'left' | 'right' | 'full'
     on: Expr | None = None
     using: tuple[str, ...] = ()
 

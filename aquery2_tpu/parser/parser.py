@@ -26,7 +26,7 @@ _CLAUSE_KEYWORDS = {
     "union", "except", "intersect", "on", "when", "natural", "inner", "left",
     "right", "full", "outer", "join", "cross", "fields", "element", "lines",
     "values", "as", "asc", "desc", "by", "terminated", "and", "or", "not",
-    "like", "is", "null", "in", "between", "distinct", "exists",
+    "like", "is", "null", "in", "between", "distinct", "exists", "using",
 }
 
 
@@ -314,6 +314,21 @@ class Parser:
     # -- SELECT ------------------------------------------------------------
 
     def parse_select(self) -> A.Select:
+        sel = self._select_core()
+        # set operations chain LEFT-associatively: A EXCEPT B EXCEPT C is
+        # (A − B) − C (reference except_clause, engine/ast.py:1143-1155)
+        while self.at_kw("union", "except", "intersect"):
+            op = self.next().text.lower()
+            allq = bool(self.accept_kw("all"))
+            sub = self._select_core()
+            if op == "union":
+                kind = "all" if allq else "distinct"
+            else:
+                kind = op + ("_all" if allq else "")
+            sel.unions.append((kind, sub))
+        return sel
+
+    def _select_core(self) -> A.Select:
         self.expect_kw("select")
         sel = A.Select(projections=[])
         sel.distinct = bool(self.accept_kw("distinct"))
@@ -322,11 +337,6 @@ class Parser:
             if not self.accept_op(","):
                 break
         self._select_clauses(sel)
-        while self.at_kw("union"):
-            self.next()
-            kind = "all" if self.accept_kw("all") else "distinct"
-            sub = self.parse_select()
-            sel.unions.append((kind, sub))
         return sel
 
     def _projection(self) -> A.Projection:
@@ -402,10 +412,11 @@ class Parser:
             elif self.at_kw("inner", "join", "cross", "left", "right", "full"):
                 kind = self.next().text.lower()
                 if kind in ("left", "right", "full"):
+                    # LEFT/RIGHT/FULL [OUTER] JOIN (reference
+                    # aquery_parser/parser.py:149, keywords.py:262-266)
                     self.accept_kw("outer")
                     self.expect_kw("join")
-                    raise ParseError("outer joins not supported yet")
-                if kind in ("inner", "cross"):
+                elif kind in ("inner", "cross"):
                     self.expect_kw("join")
                 right = self._table_source()
                 on = None
@@ -421,7 +432,9 @@ class Parser:
                     using = tuple(u)
                 sources[-1] = A.JoinSource(
                     sources[-1], right,
-                    kind="cross" if kind == "cross" else "inner",
+                    kind=("cross" if kind == "cross"
+                          else kind if kind in ("left", "right", "full")
+                          else "inner"),
                     on=on, using=using)
             else:
                 return sources
