@@ -1,0 +1,373 @@
+"""Distributed fused group-by: SQL queries over a device mesh.
+
+The defining new axis vs the reference (BASELINE.md: scaling efficiency
+1 chip → N; the reference's analogue is its shared-memory hash table,
+server/hasher.h:146-199, which cannot scale past one node). Design per
+the scaling-book recipe: tables are row-sharded over a 1-D mesh
+(contiguous blocks, `NamedSharding(mesh, P(axis))`), every query runs as
+ONE jitted SPMD program:
+
+  dense    — per-shard perfect-hash scatter into (domain+1,) local
+             accumulators, ONE `psum`/`pmin`/`pmax` over ICI per lane:
+             communication O(domain), independent of row count.
+  packed / — per-shard local sort + boundary reduction → per-shard
+  multikey   PARTIAL groups (≤ #local rows, never overflows), then
+             `all_gather` of the small partials + one replicated merge
+             reduction. Partial-aggregate-before-exchange is also the
+             skew answer: a heavy-hitter key contributes ONE partial
+             row per shard regardless of its row count (contrast the
+             row-shuffle tier in parallel/dist_groupby.py, whose fixed
+             buckets overflow under skew).
+
+Aggregate decomposition: sum/count/min/max/avg/var/stddev/corr are all
+sums/mins/maxs of per-shard partials (float sums ride the exact f32
+limb-split of fused_groupby._build_lanes, which merges losslessly);
+median does not decompose — it falls back to the single-program path.
+
+Results are bit-identical to the single-chip fused tiers for integer
+lanes and limb-split f32 sums, in the same group order.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from aquery2_tpu import config
+from aquery2_tpu.engine import fused_groupby as fg
+from aquery2_tpu.parser import ast_nodes as A
+from aquery2_tpu.storage.table import Table
+
+_cache: dict[tuple, Any] = {}
+
+
+def _combine_psum(outs: dict, axis: str) -> dict:
+    """Combine per-shard dense accumulators: sums add, extremes min/max."""
+    comb = {}
+    for tag, arr in outs.items():
+        if tag.endswith(":min"):
+            comb[tag] = jax.lax.pmin(arr, axis)
+        elif tag.endswith(":max"):
+            comb[tag] = jax.lax.pmax(arr, axis)
+        else:
+            comb[tag] = jax.lax.psum(arr, axis)
+    return comb
+
+
+def run(session, sel: A.Select, table: Table) -> Table | None:
+    """Distributed fused group-by; None → caller falls back."""
+    mesh = getattr(session, "mesh", None)
+    if mesh is None:
+        return None
+    axis = session.mesh_axis
+    ndev = mesh.shape[axis]
+    if ndev <= 1:
+        return None
+
+    try:
+        p = fg.plan(sel, table)
+    except fg.Unsupported:
+        return None
+    if p["has_median"]:
+        return None               # median does not decompose into partials
+
+    cols = table.columns
+    n = table.nrows
+    if n == 0:
+        return None
+    col_order = fg.referenced_columns(sel, p)
+    if table.has_nulls(col_order):
+        return None
+
+    chosen = fg.choose_strategy(p, cols)
+    if chosen is None:
+        return None
+    strategy, key_mins, key_ranges, domain = chosen
+    scatters = fg._needed_scatters(p["aggs"])
+    key_names = [k.name.lower() for k in p["keys"]
+                 if isinstance(k, A.ColumnRef)]
+
+    arrays = [_shard(mesh, axis, cols[nm].data) for nm in col_order]
+    cap = int(arrays[0].shape[0])
+    if cap % ndev:
+        return None
+    blk = cap // ndev
+
+    fingerprint = (
+        "dist", strategy, ndev,
+        repr(sel.group_by), repr([pr[1] for pr in p["projections"]]),
+        repr(p["where"]), repr(p["having"]),
+        tuple(key_mins), tuple(key_ranges),
+        tuple((a.shape[0], str(a.dtype)) for a in arrays),
+    )
+
+    if strategy == "dense":
+        return _run_dense(session, table, p, col_order, arrays, fingerprint,
+                          n, key_names, key_mins, key_ranges, scatters,
+                          domain, mesh, axis, blk)
+    if strategy == "packed":
+        plan_w = fg._plan_words(key_ranges)
+        if plan_w is None:
+            return _run_sortmerge(session, table, p, col_order, arrays,
+                                  fingerprint, n, scatters, mesh, axis, blk,
+                                  packed=None)
+        return _run_sortmerge(session, table, p, col_order, arrays,
+                              fingerprint, n, scatters, mesh, axis, blk,
+                              packed=(plan_w, key_mins, key_ranges, key_names))
+    return _run_sortmerge(session, table, p, col_order, arrays, fingerprint,
+                          n, scatters, mesh, axis, blk, packed=None)
+
+
+def _shard(mesh: Mesh, axis: str, x: jax.Array) -> jax.Array:
+    return jax.device_put(x, NamedSharding(mesh, P(axis)))
+
+
+# --------------------------------------------------------------------- #
+# dense tier: local perfect-hash scatter + psum
+# --------------------------------------------------------------------- #
+
+def _run_dense(session, table, p, col_order, arrays, fingerprint, n,
+               key_names, key_mins, key_ranges, scatters, domain,
+               mesh, axis, blk):
+    cols = table.columns
+    strides = []
+    s = 1
+    for r in reversed(key_ranges):
+        strides.append(s)
+        s *= r
+    strides.reverse()
+    dom = s
+    gcap = config.bucket_size(dom)
+    key_dtypes = [cols[kn].data.dtype for kn in key_names]
+
+    entry = _cache.get(fingerprint)
+    if entry is None:
+        nspec = len(arrays)
+
+        def fused(nn, *arrs):
+            @partial(shard_map, mesh=mesh,
+                     in_specs=(P(), *([P(axis)] * nspec)), out_specs=P())
+            def local(nn_, *blocks):
+                d = jax.lax.axis_index(axis).astype(jnp.int32)
+                idx = d * blk + jnp.arange(blk, dtype=jnp.int32)
+                env = dict(zip(col_order, blocks))
+                valid = idx < nn_
+                if p["where"] is not None:
+                    w = fg._row_eval(p["where"], env)
+                    if w.dtype != jnp.bool_:
+                        w = w != 0
+                    valid = valid & w
+                code = None
+                for kn, mn, st in zip(key_names, key_mins, strides):
+                    part = (env[kn].astype(jnp.int32) - jnp.int32(mn)) \
+                        * jnp.int32(st)
+                    code = part if code is None else code + part
+                code = jnp.where(valid, code, dom).astype(jnp.int32)
+                outs = fg._scatter_aggs(env, valid, code, dom, scatters)
+                return _combine_psum(outs, axis)
+
+            outs = local(nn, *arrs)
+            counts_all = outs["__counts__"]
+            present = counts_all[:dom] > 0
+            num_groups = jnp.sum(present, dtype=jnp.int32)
+            from aquery2_tpu.ops.reduce import compact_indices
+            ucodes = compact_indices(present, gcap, fill=dom)
+            safe = jnp.minimum(ucodes, dom)
+            gathered = {t: arr[safe] for t, arr in outs.items()}
+            counts = counts_all[safe]
+            results = []
+            for kindp, expr, alias in p["projections"]:
+                if kindp == "key":
+                    ki = key_names.index(expr.name.lower())
+                    kv = ((ucodes.astype(jnp.int64) // strides[ki])
+                          % key_ranges[ki] + key_mins[ki])
+                    results.append(kv.astype(key_dtypes[ki]))
+                else:
+                    results.append(fg._post_agg_eval(expr, gathered,
+                                                     counts, None))
+            if p["having"] is not None:
+                results.append(fg._post_agg_eval(p["having"], gathered,
+                                                 counts, None))
+            return results, num_groups
+
+        entry = jax.jit(fused)
+        _cache[fingerprint] = entry
+
+    results, num_groups = entry(n, *arrays)
+    g = int(num_groups)          # the single host sync
+    out_cap = config.bucket_size(max(g, 1))
+    if out_cap < gcap:
+        results = [r[:out_cap] for r in results]
+    hv = results.pop() if p["having"] is not None else None
+    return fg._finish(session, p, cols, results, g, having=hv)
+
+
+# --------------------------------------------------------------------- #
+# sort tiers: local sort-reduce → all_gather partials → replicated merge
+# --------------------------------------------------------------------- #
+
+def _run_sortmerge(session, table, p, col_order, arrays, fingerprint, n,
+                   scatters, mesh, axis, blk, packed):
+    """packed = ((fields, nwords), key_mins, key_ranges, key_names) for
+    the bit-packed tier, or None for raw multikey sort."""
+    cols = table.columns
+    keys = p["keys"]
+    cap = int(arrays[0].shape[0])
+    ndev = mesh.shape[axis]
+    # local partial capacity: a shard of blk rows yields ≤ blk groups —
+    # the partial layout can NEVER overflow (contrast dist_groupby.py's
+    # fixed shuffle buckets). For packed keys the group count is also
+    # bounded by the key domain. lgcap must not exceed blk:
+    # sorted_group_reduce outputs are sliced from length-blk row arrays.
+    if packed is not None:
+        (fields, nwords), key_mins, key_ranges, key_names = packed
+        nkeycols = nwords
+        key_dtypes = [cols[kn].data.dtype for kn in key_names]
+        domain = 1
+        for r in key_ranges:
+            domain *= r
+        lgcap = min(blk, config.bucket_size(min(domain, blk)))
+    else:
+        nkeycols = len(keys)
+        lgcap = blk
+    gcap = min(ndev * lgcap, config.bucket_size(min(cap, ndev * lgcap)))
+
+    entry = _cache.get(fingerprint)
+    if entry is None:
+        nspec = len(arrays)
+
+        def fused(nn, *arrs):
+            # local stage emits per-shard partials with out_specs=P(axis):
+            # the merge below consumes the [ndev·lgcap] arrays and XLA
+            # inserts the all-gather where the replicated sort needs it
+            @partial(shard_map, mesh=mesh,
+                     in_specs=(P(), *([P(axis)] * nspec)),
+                     out_specs=P(axis))
+            def local(nn_, *blocks):
+                d = jax.lax.axis_index(axis).astype(jnp.int32)
+                idx = d * blk + jnp.arange(blk, dtype=jnp.int32)
+                env = dict(zip(col_order, blocks))
+                valid = idx < nn_
+                if p["where"] is not None:
+                    w = fg._row_eval(p["where"], env)
+                    if w.dtype != jnp.bool_:
+                        w = w != 0
+                    valid = valid & w
+
+                if packed is not None:
+                    kops = [jnp.zeros((blk,), jnp.int32)
+                            for _ in range(nwords)]
+                    for ki, kn in enumerate(key_names):
+                        wi, shift, _b = fields[ki]
+                        kv = (env[kn]
+                              - jnp.asarray(key_mins[ki], env[kn].dtype))
+                        kops[wi] = kops[wi] | (kv.astype(jnp.int32) << shift)
+                else:
+                    kops = [fg._row_eval(ke, env) for ke in keys]
+
+                lanes = fg._build_lanes(env, valid, scatters)
+                lanes[0].pop("__counts__")
+                payload, tag_groups = fg._lane_payload(lanes)
+                invalid = ~valid
+                sorted_res = jax.lax.sort(
+                    [invalid, *kops, *payload], num_keys=1 + len(kops),
+                    is_stable=False)
+                valid_s = ~sorted_res[0]
+                skeys = sorted_res[1:1 + len(kops)]
+                add_s, mins_s, maxs_s, f64s_s = fg._split_sorted_payload(
+                    sorted_res, 1 + len(kops), tag_groups)
+                dif = sorted_res[0][1:] != sorted_res[0][:-1]
+                for sk in skeys:
+                    dif = dif | (sk[1:] != sk[:-1])
+                starts = jnp.concatenate([jnp.ones((1,), jnp.bool_), dif])
+                last = jnp.concatenate(
+                    [dif, jnp.ones((1,), jnp.bool_)]) & valid_s
+                add_s["__counts__"] = valid_s
+                from aquery2_tpu.ops import reduce as R
+                outs, _ends, lng = R.sorted_group_reduce(
+                    starts, last, add_s, mins_s, maxs_s, f64s_s, lgcap,
+                    counts_from_ends="__counts__",
+                    extract={f"__k{i}": skeys[i] for i in range(len(kops))})
+                slot_ok = jnp.arange(lgcap, dtype=jnp.int32) < lng
+                outs["__ok"] = slot_ok
+                return outs
+
+            partials = local(nn, *arrs)
+
+            # replicated merge: sort the ≤ ndev·lgcap partial rows by key,
+            # reduce again (sum of sums / min of mins / max of maxs)
+            ok = partials.pop("__ok")
+            pkeys = [partials.pop(f"__k{i}") for i in range(nkeycols)]
+            counts_p = partials.pop("__counts__")
+            add_m: dict[str, jax.Array] = {"__counts__": jnp.where(
+                ok, counts_p, jnp.zeros((), counts_p.dtype))}
+            mins_m: dict[str, jax.Array] = {}
+            maxs_m: dict[str, jax.Array] = {}
+            f64_m: dict[str, jax.Array] = {}
+            for t, v in partials.items():
+                if t.endswith(":min"):
+                    mins_m[t] = jnp.where(ok, v, fg._sentinel_max(v.dtype))
+                elif t.endswith(":max"):
+                    maxs_m[t] = jnp.where(ok, v, fg._sentinel_min(v.dtype))
+                elif v.dtype == jnp.float64:
+                    f64_m[t] = jnp.where(ok, v, 0.0)
+                else:
+                    add_m[t] = jnp.where(ok, v, jnp.zeros((), v.dtype))
+            payload, tag_groups = fg._lane_payload(
+                (add_m, mins_m, maxs_m, f64_m))
+            invalid = ~ok
+            sorted_res = jax.lax.sort(
+                [invalid, *pkeys, *payload], num_keys=1 + nkeycols,
+                is_stable=False)
+            valid_s = ~sorted_res[0]
+            skeys = sorted_res[1:1 + nkeycols]
+            add_s, mins_s, maxs_s, f64s_s = fg._split_sorted_payload(
+                sorted_res, 1 + nkeycols, tag_groups)
+            dif = sorted_res[0][1:] != sorted_res[0][:-1]
+            for sk in skeys:
+                dif = dif | (sk[1:] != sk[:-1])
+            starts = jnp.concatenate([jnp.ones((1,), jnp.bool_), dif])
+            last = jnp.concatenate([dif, jnp.ones((1,), jnp.bool_)]) & valid_s
+            from aquery2_tpu.ops import reduce as R
+            outs, _ends, ng = R.sorted_group_reduce(
+                starts, last, add_s, mins_s, maxs_s, f64s_s, gcap,
+                extract={f"__k{i}": skeys[i] for i in range(nkeycols)})
+            counts = outs["__counts__"]
+
+            results = []
+            for kindp, expr, alias in p["projections"]:
+                if kindp == "key":
+                    if packed is not None:
+                        ki = key_names.index(expr.name.lower())
+                        wi, shift, b = fields[ki]
+                        kdt = key_dtypes[ki]
+                        kv = ((outs[f"__k{wi}"] >> shift) & ((1 << b) - 1)
+                              ).astype(kdt) + jnp.asarray(key_mins[ki], kdt)
+                        results.append(kv)
+                    else:
+                        ki = fg._key_index(keys, expr)
+                        results.append(outs[f"__k{ki}"])
+                else:
+                    results.append(fg._post_agg_eval(expr, outs, counts,
+                                                     None))
+            if p["having"] is not None:
+                results.append(fg._post_agg_eval(p["having"], outs,
+                                                 counts, None))
+            return results, ng
+
+        entry = jax.jit(fused)
+        _cache[fingerprint] = entry
+
+    results, num_groups = entry(n, *arrays)
+    g = int(num_groups)          # the single host sync
+    out_cap = config.bucket_size(max(g, 1))
+    if out_cap < gcap:
+        results = [r[:out_cap] for r in results]
+    hv = results.pop() if p["having"] is not None else None
+    return fg._finish(session, p, cols, results, g, having=hv)

@@ -66,6 +66,7 @@ class Executor:
                                 field_sep=stmt.field_sep,
                                 element_sep=stmt.element_sep,
                                 complex_cells=stmt.complex)
+            self.session.place_table(tbl)
             self.session.notify_insert(tbl.name)
             return None
         if isinstance(stmt, A.Select):
@@ -113,6 +114,7 @@ class Executor:
             tbl = self.run_select(stmt.as_select)
             tbl.name = stmt.name
             self.session.catalog.create(tbl, replace=True)
+            self.session.place_table(tbl)
             return None
         cols: list[Column | VectorColumn] = []
         for cd in stmt.columns:
@@ -153,6 +155,7 @@ class Executor:
                 perm = [order.index(n) for n in names]
                 rows = [[r[i] for i in perm] for r in rows]
             tbl.append_rows(rows)
+        self.session.place_table(tbl)
         self.session.notify_insert(tbl.name)
         return None
 
@@ -222,10 +225,19 @@ class Executor:
 
     def run_select(self, sel: A.Select) -> Table:
         # fused fast path: grouped aggregation over a single table traces
-        # into one XLA program (engine/fused_groupby.py)
+        # into one XLA program (engine/fused_groupby.py); distributed
+        # sessions run the SPMD variant over the mesh (engine/dist_query.py)
         if (sel.group_by and len(sel.sources) == 1
                 and isinstance(sel.sources[0], A.TableSource)
                 and sel.sources[0].name in self.session.catalog):
+            if self.session.mesh is not None:
+                from aquery2_tpu.engine import dist_query
+
+                t = dist_query.run(
+                    self.session, sel,
+                    self.session.catalog.get(sel.sources[0].name))
+                if t is not None:
+                    return t
             from aquery2_tpu.engine import fused_groupby
 
             t = fused_groupby.run(self.session,

@@ -512,26 +512,17 @@ def _post_agg_eval(e: A.Expr, dense: dict[str, jax.Array], counts, keyvals):
 _cache: dict[tuple, Any] = {}
 
 
-def run(session, sel: A.Select, table: Table) -> Table | None:
-    """Try the fused path; returns the result Table or None."""
-    try:
-        p = plan(sel, table)
-    except Unsupported:
-        return None
-
-    cols = table.columns
-    n = table.nrows
-    if n == 0:
-        return None
-
-    # Key stats → packed-code domain → strategy choice. Three tiers
-    # (ops/reduce.py has the measured cost model):
-    #   dense    — tiny domains: dense accumulators (one-hot MXU matmul)
-    #   packed   — keys pack into one int32/int64 code: single-key sort
-    #              + cumsum/boundary reduction (scatters are ~16× the
-    #              cost of a sort for 64-bit lanes)
-    #   multikey — unpackable keys (huge ranges / floats): lexicographic
-    #              multi-operand sort, same reduction
+def choose_strategy(p, cols):
+    """Strategy tiers from key stats (ops/reduce.py has the measured cost
+    model):
+      dense    — tiny domains: dense accumulators (one-hot MXU matmul)
+      packed   — keys pack into one-or-more int32 words: single sort +
+                 cumsum/boundary reduction (scatters are ~16× the cost
+                 of a sort for 64-bit lanes)
+      multikey — unpackable keys (huge ranges / floats / computed):
+                 lexicographic multi-operand sort, same reduction
+    Returns (strategy, key_mins, key_ranges, domain) or None (median
+    without a packable layout: the general path computes it)."""
     key_mins, key_ranges = [], []
     domain = 1
     packable = not p["expr_keys"]      # computed keys have no stats
@@ -547,7 +538,7 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
             domain *= key_ranges[-1]
     if p["has_median"]:
         if not packable or _plan_words(key_ranges) is None:
-            return None           # general path computes median
+            return None
         strategy = "packed"       # median needs the sorted layout
     elif packable and domain <= config.ONEHOT_MATMUL_MAX_GROUPS:
         strategy = "dense"
@@ -555,12 +546,11 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
         strategy = "packed"       # bit-packed words; falls back to
     else:                         # multikey inside if a key needs >30 bits
         strategy = "multikey"
+    return strategy, key_mins, key_ranges, domain
 
-    scatters = _needed_scatters(p["aggs"])
-    key_names = [k.name.lower() for k in p["keys"]
-                 if isinstance(k, A.ColumnRef)]
 
-    # only the columns the query actually references
+def referenced_columns(sel: A.Select, p) -> list[str]:
+    """Sorted lower-cased names of every column the query touches."""
     referenced: set[str] = set()
 
     def walk(e):
@@ -584,8 +574,34 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
         walk(p["where"])
     if p["having"] is not None:
         walk(p["having"])
+    return sorted(referenced)
 
-    col_order = sorted(referenced)
+
+def run(session, sel: A.Select, table: Table) -> Table | None:
+    """Try the fused path; returns the result Table or None."""
+    try:
+        p = plan(sel, table)
+    except Unsupported:
+        return None
+
+    cols = table.columns
+    n = table.nrows
+    if n == 0:
+        return None
+
+    # Key stats → packed-code domain → strategy choice (shared with the
+    # distributed executor, engine/dist_query.py)
+    chosen = choose_strategy(p, cols)
+    if chosen is None:
+        return None               # general path computes median
+    strategy, key_mins, key_ranges, domain = chosen
+
+    scatters = _needed_scatters(p["aggs"])
+    key_names = [k.name.lower() for k in p["keys"]
+                 if isinstance(k, A.ColumnRef)]
+
+    # only the columns the query actually references
+    col_order = referenced_columns(sel, p)
     if table.has_nulls(col_order):
         return None          # nullable columns: null-aware general path
     arrays = [cols[name].data for name in col_order]

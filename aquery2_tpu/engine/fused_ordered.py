@@ -377,7 +377,26 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
                          for ki in range(len(key_names))})
             counts = outs["__counts__"]
 
+            # ragged layouts: everything group-sized stays on device; the
+            # ONLY device→host pull of the whole query is the `scalars`
+            # vector below (each scalar sync over the tunnel costs a
+            # full RTT — q8 spent ~0.3 s on them before this batching)
+            has_ragged = any(kindp == "row"
+                             for kindp, _, _ in p["projections"])
+            offs_all = None
+            counts_ok = None
+            if has_ragged:
+                # int32 cumsum: int64 arithmetic is emulated on TPU (a
+                # 16M-row int64 cumsum measured ~134 ms vs ~10 ms int32);
+                # counts ≤ n < 2^31 always fits. Slots ≥ ng hold garbage
+                # — zero them so the running offsets stay flat.
+                slot_ok = jnp.arange(cap, dtype=jnp.int32) < ng
+                counts_ok = jnp.where(slot_ok, counts.astype(jnp.int32), 0)
+                offs_all = jnp.concatenate([
+                    jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_ok)])
+
             results = []  # flat arrays; static tags live in out_tags
+            scalars = [ng, offs_all[-1] if offs_all is not None else ng]
             for kindp, expr, alias in p["projections"]:
                 if kindp == "key":
                     ki = key_names.index(expr.name.lower())
@@ -387,14 +406,30 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
                         base = eval_sorted(expr.args[0])
                         a = int(expr.args[1].value)
                         b = int(expr.args[2].value)
+                        # per-group kept count is CLOSED FORM — rows kept
+                        # in group i are positions [a, b) of its count:
+                        # no mask cumsum, no boundary gather
+                        kc = (jnp.minimum(counts_ok, b)
+                              - jnp.minimum(counts_ok, a))
+                        kept = jnp.concatenate([
+                            jnp.zeros((1,), jnp.int32), jnp.cumsum(kc)])
+                        # compact kept rows by ONE unstable sort on a
+                        # unique int32 key carrying the values as payload
+                        # (argsort + 16M random gather measured ~360 ms;
+                        # this sort ~80 ms)
                         mask = valid_s & (pos >= a) & (pos < b)
-                        results.append(base)
-                        results.append(mask)
+                        ckey = jnp.where(mask, idx, idx + jnp.int32(cap))
+                        comp = jax.lax.sort([ckey, base], num_keys=1,
+                                            is_stable=False)
+                        results.append(comp[1])
+                        results.append(kept)
+                        scalars.append(kept[-1])
                     else:
                         results.append(eval_sorted(expr))
                 else:
                     results.append(fg._post_agg_eval(expr, outs, counts, None))
-            return results, counts, ng
+            return results, offs_all, jnp.stack(
+                [jnp.asarray(s, jnp.int64) for s in scalars])
 
         entry = jax.jit(fused)
         _cache[fingerprint] = entry
@@ -410,8 +445,10 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
         else:
             out_tags.append("group")
 
-    flat, counts, num_groups = entry(n, *arrays)
-    g = int(num_groups)                       # sync #1
+    flat, offs_all, scalars = entry(n, *arrays)
+    s = np.asarray(scalars)                    # the ONE host sync
+    g, total = int(s[0]), int(s[1])
+    kept_totals = [int(x) for x in s[2:]]
     gcap = config.bucket_size(max(g, 1))
 
     # re-associate flat arrays with tags ('ragged_masked' consumed two)
@@ -423,20 +460,15 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
         else:
             results.append((tag, next(it)))
 
-    offsets = None
-    if any(t in ("ragged", "ragged_masked") for t in out_tags):
-        # ragged outputs need per-group lengths on host (sync #2)
-        counts_h = np.asarray(counts[:gcap])[:g]
-        offsets = np.zeros(g + 1, dtype=np.int64)
-        np.cumsum(counts_h, out=offsets[1:])
+    offsets = offs_all[: g + 1] if offs_all is not None else None
 
     out = Table.__new__(Table)
     out.name = f"result_{base62uuid(4)}"
     out.columns = CaseInsensitiveDict()
     out.sorted_by = ()
     used: dict[str, int] = {}
+    ki_kept = 0
     from aquery2_tpu.engine.executor import _derive_name
-    from aquery2_tpu.ops import filter as filter_ops
 
     for (kindp, expr, alias), rv in zip(p["projections"], results):
         name = alias or _derive_name(expr)
@@ -459,27 +491,18 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
                 out.columns[name] = Column(name, st, arr, nrows=g)
         elif tag == "ragged":
             vals = rv[1]
-            total = int(offsets[-1])
             st = T.from_np_dtype(np.dtype(vals.dtype))
             out.columns[name] = VectorColumn(
-                name, T.VectorT(st), vals[: max(total, 1)], offsets, nrows=g)
-        else:  # ragged_masked (subvec)
-            vals, mask = rv[1], rv[2]
-            perm2, cnt = filter_ops.compact_indices(mask)
-            m = int(cnt)
-            # per-group kept counts: cumulative mask sampled at group
-            # boundaries, ON DEVICE — pulling the row-sized mask to the
-            # host costs seconds over a tunneled chip
-            mc = jnp.cumsum(mask.astype(jnp.int64))
-            boundary = jnp.asarray(
-                np.minimum(offsets[1:], int(mask.shape[0])) - 1)
-            kept = np.zeros(g + 1, dtype=np.int64)
-            kept[1:] = np.asarray(
-                jnp.where(boundary >= 0, mc[jnp.clip(boundary, 0)], 0))
-            vals_c = vals[perm2][: max(m, 1)]
-            st = T.from_np_dtype(np.dtype(vals.dtype))
+                name, T.VectorT(st), vals[: max(total, 1)], offsets,
+                nrows=g, total=total)
+        else:  # ragged_masked (subvec): pre-compacted in-program
+            vals_c, kept = rv[1], rv[2]
+            m = kept_totals[ki_kept]
+            ki_kept += 1
+            st = T.from_np_dtype(np.dtype(vals_c.dtype))
             out.columns[name] = VectorColumn(
-                name, T.VectorT(st), vals_c, kept, nrows=g)
+                name, T.VectorT(st), vals_c[: max(m, 1)], kept[: g + 1],
+                nrows=g, total=m)
 
     if p["into_table"]:
         out.name = p["into_table"]

@@ -30,7 +30,25 @@ from aquery2_tpu.utils import CaseInsensitiveDict
 
 
 class Session:
-    def __init__(self, base_dir: str | None = None) -> None:
+    def __init__(self, base_dir: str | None = None,
+                 mesh: "int | object | None" = None,
+                 mesh_axis: str = "shards") -> None:
+        # Distributed mode (SURVEY.md §7 step 6): tables row-shard over a
+        # 1-D device mesh and grouped queries run as SPMD programs
+        # (engine/dist_query.py). mesh: device count or a jax Mesh.
+        self.mesh = None
+        self.mesh_axis = mesh_axis
+        if mesh is not None:
+            from aquery2_tpu.parallel.mesh import make_mesh
+
+            if isinstance(mesh, int):
+                if mesh > 1:
+                    if mesh & (mesh - 1):
+                        raise ValueError("mesh size must be a power of two")
+                    self.mesh = make_mesh(mesh, axis=mesh_axis)
+            else:
+                self.mesh = mesh
+                self.mesh_axis = mesh.axis_names[0]
         self.catalog = Catalog()
         self.udfs: CaseInsensitiveDict = CaseInsensitiveDict()
         self.module_functions: CaseInsensitiveDict = CaseInsensitiveDict()
@@ -41,6 +59,26 @@ class Session:
         self.base_dir = base_dir or os.getcwd()
         self.executor = Executor(self)
         self.log_level = "info"
+
+    # -- distributed placement ----------------------------------------------
+
+    def place_table(self, tbl) -> None:
+        """Row-shard a table's device columns over the session mesh
+        (no-op single-chip). Contiguous blocks: NamedSharding(mesh,
+        P(axis)) on the padded capacity, which every power-of-two
+        bucket divides."""
+        if self.mesh is None:
+            return
+        from aquery2_tpu.parallel.mesh import shard_1d
+
+        for c in tbl.columns.values():
+            if getattr(c, "is_vector", False):
+                continue
+            if c.data.shape[0] % self.mesh.shape[self.mesh_axis]:
+                continue
+            c.data = shard_1d(self.mesh, c.data, self.mesh_axis)
+            if c.valid is not None:
+                c.valid = shard_1d(self.mesh, c.valid, self.mesh_axis)
 
     # -- paths -------------------------------------------------------------
 
@@ -111,5 +149,8 @@ class Session:
         self.close()
 
 
-def connect(base_dir: str | None = None) -> Session:
-    return Session(base_dir=base_dir)
+def connect(base_dir: str | None = None,
+            mesh: "int | object | None" = None) -> Session:
+    """mesh: device count (power of two) or a jax Mesh for distributed
+    execution; None/1 = single-chip."""
+    return Session(base_dir=base_dir, mesh=mesh)

@@ -258,6 +258,7 @@ class VectorColumn:
         offsets: jax.Array | np.ndarray,
         nrows: int | None = None,
         dictionary: StringDict | None = None,
+        total: int | None = None,
     ) -> None:
         assert sqltype.is_vector, sqltype
         self.name = name
@@ -265,14 +266,26 @@ class VectorColumn:
         n = (int(offsets.shape[0]) - 1) if nrows is None else int(nrows)
         self.nrows = n
         cap = config.bucket_size(n)
-        total = int(np.asarray(offsets[-1])) if offsets.shape[0] else 0
+        if total is None:   # pass total to skip this device→host sync
+            total = int(np.asarray(offsets[-1])) if offsets.shape[0] else 0
         vcap = config.bucket_size(max(total, 1))
         self.values: jax.Array = _pad_to(values, vcap)
-        off = np.zeros((cap + 1,), dtype=np.int64)
-        off[: offsets.shape[0]] = np.asarray(offsets)
-        if offsets.shape[0] < cap + 1:
-            off[offsets.shape[0]:] = off[offsets.shape[0] - 1] if offsets.shape[0] else 0
-        self.offsets: jax.Array = jnp.asarray(off)
+        if isinstance(offsets, jax.Array):
+            # keep offsets ON DEVICE: pulling a groups-sized array over a
+            # tunneled chip costs ~0.1 s/MB — host code pulls lazily via
+            # np.asarray only when it actually formats/exports rows
+            off_d = offsets.astype(jnp.int64)
+            if off_d.shape[0] < cap + 1:
+                last = off_d[-1] if off_d.shape[0] else jnp.zeros((), jnp.int64)
+                pad = jnp.full((cap + 1 - off_d.shape[0],), last, jnp.int64)
+                off_d = jnp.concatenate([off_d, pad])
+            self.offsets = off_d[: cap + 1]
+        else:
+            off = np.zeros((cap + 1,), dtype=np.int64)
+            off[: offsets.shape[0]] = np.asarray(offsets)
+            if offsets.shape[0] < cap + 1:
+                off[offsets.shape[0]:] = off[offsets.shape[0] - 1] if offsets.shape[0] else 0
+            self.offsets = jnp.asarray(off)
         self.dictionary = dictionary
 
     @classmethod

@@ -49,8 +49,8 @@ QUERIES = {
             "WHERE s.id3 = d.id3 GROUP BY d.w"),     # star join + group-by
 }
 
-DEFAULT_QUERIES = ["q1", "q2", "q3", "q4", "q5", "q6", "q7", "q9", "q10",
-                   "qj", "qjg"]
+DEFAULT_QUERIES = ["q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9",
+                   "q10", "qj", "qjg"]
 
 
 def make_data(session, n: int, seed: int = 42,
@@ -102,6 +102,7 @@ def make_data(session, n: int, seed: int = 42,
                                arr, nrows=n))
     t = Table("source", cols)
     session.catalog.create(t, replace=True)
+    session.place_table(t)      # row-shard when the session has a mesh
 
     # join dim: ~10% sample of the id3 domain with weights
     dsize = max(nk // 10, 1)
@@ -121,43 +122,97 @@ def make_data(session, n: int, seed: int = 42,
         Column("w", T.IntT, dw, nrows=dsize),
     ])
     session.catalog.create(dim, replace=True)
+    session.place_table(dim)
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=10_000_000)
-    ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--queries", type=str, default=",".join(DEFAULT_QUERIES))
-    ap.add_argument("--string-ids", action="store_true",
-                    help="dictionary-encoded VARCHAR group keys like the "
-                         "original h2o csv")
-    ap.add_argument("--verbose", action="store_true")
-    args = ap.parse_args()
-
-    import aquery2_tpu as aq
-
-    session = aq.connect()
-    t0 = time.perf_counter()
-    make_data(session, args.rows, string_ids=args.string_ids)
-    if args.verbose:
-        print(f"# datagen: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
-
-    names = [q.strip() for q in args.queries.split(",") if q.strip()]
+def run_suite(session, names, rows, iters, verbose=False,
+              tag="") -> dict[str, float]:
     times: dict[str, float] = {}
     for name in names:
         sql = QUERIES[name]
         # warmup (compile)
         session.execute(sql)
         best = float("inf")
-        for _ in range(args.iters):
+        for _ in range(iters):
             t1 = time.perf_counter()
             r = session.execute(sql)
             dt = time.perf_counter() - t1
             best = min(best, dt)
         times[name] = best
-        if args.verbose:
-            print(f"# {name}: {best * 1000:.1f} ms ({r.nrows} rows out)",
+        if verbose:
+            print(f"# {tag}{name}: {best * 1000:.1f} ms ({r.nrows} rows out)",
                   file=sys.stderr)
+    return times
+
+
+# grouped single-table queries the distributed executor covers (no median
+# q6 — does not decompose into partials; no ordered q8; no joins)
+SCALING_QUERIES = ["q1", "q2", "q3", "q4", "q5", "q7", "q9", "q10"]
+
+
+def run_scaling(rows: int, iters: int, ndev: int, verbose: bool) -> dict:
+    """rows/s at 1 device vs ndev devices on the SAME backend →
+    scaling efficiency (BASELINE.md metric: target ≥70%). On a real
+    multi-chip slice this measures ICI scaling; on the CPU backend with
+    forced host devices it validates the machinery (devices share cores,
+    so efficiency there reflects collective overhead only)."""
+    import aquery2_tpu as aq
+
+    out = {}
+    for nd in (1, ndev):
+        session = aq.connect(mesh=nd if nd > 1 else None)
+        make_data(session, rows)
+        times = run_suite(session, SCALING_QUERIES, rows, iters,
+                          verbose=verbose, tag=f"[{nd}dev] ")
+        out[nd] = rows * len(SCALING_QUERIES) / sum(times.values())
+    eff = (out[ndev] / ndev) / out[1]
+    return {"rows_per_s_1dev": round(out[1], 1),
+            f"rows_per_s_{ndev}dev": round(out[ndev], 1),
+            "ndev": ndev,
+            "scaling_efficiency": round(eff, 4)}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=100_000_000,
+                    help="default 1e8: the BASELINE.md G1-1e8 metric scale")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--queries", type=str, default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--string-ids", action="store_true",
+                    help="dictionary-encoded VARCHAR group keys like the "
+                         "original h2o csv")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="run the suite on an N-device mesh session "
+                         "(tables row-sharded, SPMD queries)")
+    ap.add_argument("--scaling", type=int, default=0, metavar="N",
+                    help="measure 1-device vs N-device rows/s and print "
+                         "scaling efficiency")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import aquery2_tpu as aq
+
+    if args.scaling:
+        res = run_scaling(args.rows, args.iters, args.scaling, args.verbose)
+        print(json.dumps({
+            "metric": "h2o_groupby_scaling_efficiency",
+            "value": res["scaling_efficiency"],
+            "unit": "fraction",
+            "vs_baseline": round(res["scaling_efficiency"] / 0.70, 3),
+            "detail": res,
+            "rows": args.rows,
+        }))
+        return 0
+
+    session = aq.connect(mesh=args.mesh if args.mesh > 1 else None)
+    t0 = time.perf_counter()
+    make_data(session, args.rows, string_ids=args.string_ids)
+    if args.verbose:
+        print(f"# datagen: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+
+    names = [q.strip() for q in args.queries.split(",") if q.strip()]
+    times = run_suite(session, names, args.rows, args.iters,
+                      verbose=args.verbose)
 
     total_time = sum(times.values())
     total_rows = args.rows * len(names)
