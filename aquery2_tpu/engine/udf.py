@@ -105,8 +105,15 @@ def _combine(ctx, op, a, b):
 
 
 def run_aggregation_udf(ctx, udf: Udf, args: list):
-    """Interpret an AGGREGATION FUNCTION per group on host."""
+    """AGGREGATION FUNCTION: device lowering first (engine/udf_device.py
+    traces :=/if/for bodies into one vmapped jitted program), host NumPy
+    interpreter as the fallback for untraceable bodies."""
+    from aquery2_tpu.engine import udf_device
     from aquery2_tpu.engine.eval import Value
+
+    dv = udf_device.try_run_aggregation_udf(ctx, udf, args)
+    if dv is not None:
+        return dv
 
     offsets = ctx.np_offsets()
     G = ctx.G

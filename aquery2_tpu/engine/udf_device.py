@@ -1,0 +1,463 @@
+"""Device lowering for AGGREGATION FUNCTION bodies.
+
+The reference compiles UDF bodies to C++ lambdas called once per group
+(engine/ast.py:1551-1812). Round 1 interpreted them per group on host
+NumPy — orders of magnitude slower at scale. Here the imperative body
+(`:=` assignments, if/elif/else, for loops, element indexing x[i],
+dynamic slicing x(a, b)) is TRACED into one jitted program and `vmap`ed
+over groups:
+
+* every scalar variable is a float64 0-d tracer;
+* every vector is a (data[L], mask[L]) pair over a fixed per-call group
+  capacity L = max group length — dynamic slices x(a, b) become mask
+  refinements, so no dynamic shapes ever appear;
+* if/elif/else evaluates ALL branches and merges the assigned variables
+  with jnp.where (bodies are small; branch divergence is per group);
+* for loops become lax.while_loop with the statically-discovered set of
+  mutated variables as carry (vmap lifts the loop over groups, masking
+  finished lanes);
+* `_builtin_ret[i] := v` is a functional .at[i].set carried through the
+  loop; `_builtin_len` is the group length.
+
+The row layout is already group-major (the executor sorts rows by group
+before evaluation), so group slices are start-offset windows; results
+scatter back to row layout by (segment, position) gather.
+
+Falls back to the host interpreter (run_aggregation_udf) by returning
+None for anything it cannot trace.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aquery2_tpu import types as T
+from aquery2_tpu.parser import ast_nodes as A
+
+# group-matrix element budget: G × L beyond this falls back to host
+# (skewed giant groups would blow HBM on the padded matrix)
+_MAX_ELEMS = 1 << 26
+
+
+class _Untraceable(Exception):
+    pass
+
+
+@dataclass
+class _Vec:
+    data: jax.Array          # [L] float64
+    mask: jax.Array          # [L] bool — rows this vector covers
+
+
+def _collect_assigned(body, out: set[str]) -> None:
+    for s in body:
+        if isinstance(s, A.UdfAssign):
+            if isinstance(s.target, A.ColumnRef):
+                out.add(s.target.name)
+            elif isinstance(s.target, A.Index) and \
+                    isinstance(s.target.base, A.ColumnRef):
+                out.add(s.target.base.name)
+        elif isinstance(s, A.UdfIf):
+            _collect_assigned(s.then, out)
+            for _, blk in s.elifs:
+                _collect_assigned(blk, out)
+            _collect_assigned(s.orelse, out)
+        elif isinstance(s, A.UdfFor):
+            for a in list(s.init) + list(s.step):
+                if isinstance(a.target, A.ColumnRef):
+                    out.add(a.target.name)
+                elif isinstance(a.target, A.Index) and \
+                        isinstance(a.target.base, A.ColumnRef):
+                    out.add(a.target.base.name)
+            _collect_assigned(s.body, out)
+
+
+class _Tracer:
+    """Trace one group's UDF body into jnp ops (vmapped by the caller)."""
+
+    def __init__(self, env: dict[str, Any], L: int):
+        self.env = env
+        self.L = L
+        self.iota = jnp.arange(L, dtype=jnp.int32)
+
+    # -- statements ------------------------------------------------------
+
+    def run(self, body) -> Any:
+        last = None
+        for s in body:
+            last = self.stmt(s)
+        return last
+
+    def stmt(self, s) -> Any:
+        if isinstance(s, A.UdfAssign):
+            self.assign(s)
+            return None
+        if isinstance(s, A.UdfExprStmt):
+            e = s.expr
+            if isinstance(e, A.Literal) and e.value is None:
+                return None                      # `Null` → return ret
+            if isinstance(e, A.ColumnRef) and e.name.lower() == "null":
+                return None
+            return self.expr(e)
+        if isinstance(s, A.UdfIf):
+            return self._trace_if(s)
+        if isinstance(s, A.UdfFor):
+            return self._trace_for(s)
+        raise _Untraceable(f"statement {s}")
+
+    def assign(self, s: A.UdfAssign) -> None:
+        val = self.expr(s.value)
+        if isinstance(s.target, A.ColumnRef):
+            name = s.target.name
+            if s.op != ":=":
+                cur = self._lookup(name)
+                val = self._binop({"+=": "+", "-=": "-", "*=": "*",
+                                   "/=": "/"}[s.op], cur, val)
+            self.env[name] = val
+            return
+        if isinstance(s.target, A.Index) and \
+                isinstance(s.target.base, A.ColumnRef):
+            name = s.target.base.name
+            arr = self._lookup(name)
+            if isinstance(arr, _Vec):
+                raise _Untraceable("indexed write to input vector")
+            idx = self._as_index(self.expr(s.target.index))
+            if s.op != ":=":
+                cur = arr[idx]
+                val = self._binop({"+=": "+", "-=": "-", "*=": "*",
+                                   "/=": "/"}[s.op], cur, val)
+            self.env[name] = arr.at[idx].set(
+                jnp.asarray(val, jnp.float64))
+            return
+        raise _Untraceable("assignment target")
+
+    def _trace_if(self, s: A.UdfIf) -> None:
+        """Evaluate every branch on a copy of the env; merge assigned
+        variables with jnp.where. Branches must not contain loops that
+        depend on branch-local state (rare; falls back)."""
+        branches = [(s.cond, s.then)] + list(s.elifs) + [(None, s.orelse)]
+        taken = jnp.zeros((), jnp.bool_)
+        merged = dict(self.env)
+        for cond_e, blk in branches:
+            if cond_e is None:
+                cond = ~taken
+            else:
+                sub0 = _Tracer(dict(self.env), self.L)   # pre-if state
+                c = sub0.expr(cond_e)
+                cond = jnp.asarray(c, jnp.bool_) & ~taken
+                taken = taken | jnp.asarray(c, jnp.bool_)
+            sub = _Tracer(dict(self.env), self.L)
+            sub.run(blk)
+            for name, v in sub.env.items():
+                base = merged.get(name)
+                if base is None:
+                    base = (jnp.zeros_like(v.data) if isinstance(v, _Vec)
+                            else jnp.zeros_like(jnp.asarray(v)))
+                    if isinstance(v, _Vec):
+                        base = _Vec(base, v.mask)
+                merged[name] = self._merge(cond, v, base)
+        self.env.clear()
+        self.env.update(merged)
+        return None
+
+    def _merge(self, cond, a, b):
+        if isinstance(a, _Vec) or isinstance(b, _Vec):
+            if not isinstance(a, _Vec) or not isinstance(b, _Vec):
+                raise _Untraceable("branch changes variable rank")
+            return _Vec(jnp.where(cond, a.data, b.data),
+                        jnp.where(cond, a.mask, b.mask))
+        a = jnp.asarray(a)
+        b = jnp.asarray(b)
+        if a.shape != b.shape:
+            raise _Untraceable("branch changes variable shape")
+        if a.dtype != b.dtype:
+            a = a.astype(jnp.float64)
+            b = b.astype(jnp.float64)
+        return jnp.where(cond, a, b)
+
+    def _trace_for(self, s: A.UdfFor) -> None:
+        for a in s.init:
+            self.assign(a)
+        mutated: set[str] = set()
+        _collect_assigned(list(s.body) + [A.UdfAssign(a.target, a.op, a.value)
+                                          for a in s.step], mutated)
+        names = sorted(n for n in mutated if n in self.env)
+        if not names:
+            raise _Untraceable("loop mutates nothing")
+
+        is_vec = {n: isinstance(self.env[n], _Vec) for n in names}
+
+        def pack(env):
+            out = []
+            for n in names:
+                v = env[n]
+                if is_vec[n]:
+                    if not isinstance(v, _Vec):
+                        raise _Untraceable(f"loop changes rank of {n}")
+                    out.append(v.data)
+                    out.append(v.mask)
+                else:
+                    if isinstance(v, _Vec):
+                        raise _Untraceable(f"loop changes rank of {n}")
+                    out.append(jnp.asarray(v, jnp.float64))
+            return tuple(out)
+
+        def unpack(carry, env):
+            it = iter(carry)
+            for n in names:
+                if is_vec[n]:
+                    env[n] = _Vec(next(it), next(it))
+                else:
+                    env[n] = next(it)
+
+        def cond_fn(carry):
+            env = dict(self.env)
+            unpack(carry, env)
+            c = _Tracer(env, self.L).expr(s.cond)
+            return jnp.asarray(c, jnp.bool_)
+
+        def body_fn(carry):
+            env = dict(self.env)
+            unpack(carry, env)
+            tr = _Tracer(env, self.L)
+            tr.run(s.body)
+            for a in s.step:
+                tr.assign(a)
+            return pack(tr.env)
+
+        final = jax.lax.while_loop(cond_fn, body_fn, pack(self.env))
+        unpack(final, self.env)
+        return None
+
+    # -- expressions -------------------------------------------------------
+
+    def _lookup(self, name: str):
+        if name in self.env:
+            return self.env[name]
+        low = name.lower()
+        if low in self.env:
+            return self.env[low]
+        raise _Untraceable(f"unbound {name}")
+
+    def _as_index(self, v):
+        return jnp.clip(jnp.asarray(v).astype(jnp.int32), 0, self.L - 1)
+
+    def expr(self, e) -> Any:
+        if isinstance(e, A.Literal):
+            if e.value is None:
+                raise _Untraceable("null literal in expression")
+            return jnp.asarray(float(e.value), jnp.float64)
+        if isinstance(e, A.ColumnRef):
+            return self._lookup(e.name)
+        if isinstance(e, A.Index):
+            base = self.expr(e.base)
+            idx = self._as_index(self.expr(e.index))
+            if isinstance(base, _Vec):
+                return base.data[idx]
+            return base[idx]
+        if isinstance(e, A.UnaryOp):
+            v = self.expr(e.operand)
+            if e.op == "-":
+                if isinstance(v, _Vec):
+                    return _Vec(-v.data, v.mask)
+                return -v
+            if e.op == "not":
+                return jnp.logical_not(v)
+            raise _Untraceable(f"unary {e.op}")
+        if isinstance(e, A.BinOp):
+            return self._binop(e.op, self.expr(e.left), self.expr(e.right))
+        if isinstance(e, A.Call):
+            return self.call(e)
+        raise _Untraceable(f"expr {e}")
+
+    def _binop(self, op, a, b):
+        fns = {
+            "+": jnp.add, "-": jnp.subtract, "*": jnp.multiply,
+            "/": jnp.true_divide, "%": jnp.mod,
+            "=": jnp.equal, "<>": jnp.not_equal, "<": jnp.less,
+            ">": jnp.greater, "<=": jnp.less_equal, ">=": jnp.greater_equal,
+            "and": jnp.logical_and, "or": jnp.logical_or,
+        }
+        if op not in fns:
+            raise _Untraceable(f"op {op}")
+        fn = fns[op]
+        if isinstance(a, _Vec) or isinstance(b, _Vec):
+            if isinstance(a, _Vec) and isinstance(b, _Vec):
+                return _Vec(fn(a.data, b.data), a.mask & b.mask)
+            if isinstance(a, _Vec):
+                return _Vec(fn(a.data, b), a.mask)
+            return _Vec(fn(a, b.data), b.mask)
+        return fn(a, b)
+
+    def call(self, e: A.Call) -> Any:
+        name = e.func
+        # dynamic slicing x(a, b): mask refinement, no dynamic shapes
+        tgt = self.env.get(name)
+        if isinstance(tgt, _Vec) and len(e.args) == 2:
+            a = jnp.asarray(self.expr(e.args[0])).astype(jnp.int32)
+            b = jnp.asarray(self.expr(e.args[1])).astype(jnp.int32)
+            return _Vec(tgt.data, tgt.mask & (self.iota >= a)
+                        & (self.iota < b))
+        args = [self.expr(a) for a in e.args]
+        if name == "subvec" and isinstance(args[0], _Vec):
+            v, a, b = args
+            a = jnp.asarray(a).astype(jnp.int32)
+            b = jnp.asarray(b).astype(jnp.int32)
+            return _Vec(v.data, v.mask & (self.iota >= a) & (self.iota < b))
+        if name in _REDUCERS:
+            return _REDUCERS[name](self, args)
+        if name in _ELEMENTWISE:
+            f = _ELEMENTWISE[name]
+            v = args[0]
+            if isinstance(v, _Vec):
+                return _Vec(f(v.data, *args[1:]), v.mask)
+            return f(v, *args[1:])
+        raise _Untraceable(f"call {name}")
+
+
+def _red_sum(tr, args):
+    v = args[0]
+    if not isinstance(v, _Vec):
+        return v
+    return jnp.sum(jnp.where(v.mask, v.data, 0.0))
+
+
+def _red_count(tr, args):
+    v = args[0]
+    if not isinstance(v, _Vec):
+        return jnp.asarray(1.0, jnp.float64)
+    return jnp.sum(v.mask.astype(jnp.float64))
+
+
+def _red_avg(tr, args):
+    v = args[0]
+    if not isinstance(v, _Vec):
+        return v
+    c = jnp.sum(v.mask.astype(jnp.float64))
+    return jnp.sum(jnp.where(v.mask, v.data, 0.0)) / jnp.maximum(c, 1.0)
+
+
+def _red_min(tr, args):
+    v = args[0]
+    if not isinstance(v, _Vec):
+        return v
+    return jnp.min(jnp.where(v.mask, v.data, jnp.inf))
+
+
+def _red_max(tr, args):
+    v = args[0]
+    if not isinstance(v, _Vec):
+        return v
+    return jnp.max(jnp.where(v.mask, v.data, -jnp.inf))
+
+
+def _red_first(tr, args):
+    v = args[0]
+    if not isinstance(v, _Vec):
+        return v
+    i = jnp.argmax(v.mask)
+    return v.data[i]
+
+
+def _red_last(tr, args):
+    v = args[0]
+    if not isinstance(v, _Vec):
+        return v
+    rev = v.mask[::-1]
+    i = v.mask.shape[0] - 1 - jnp.argmax(rev)
+    return v.data[i]
+
+
+_REDUCERS = {
+    "sum": _red_sum, "avg": _red_avg, "mean": _red_avg,
+    "count": _red_count, "min": _red_min, "max": _red_max,
+    "first": _red_first, "last": _red_last,
+}
+
+_ELEMENTWISE = {
+    "sqrt": jnp.sqrt, "abs": jnp.abs, "exp": jnp.exp, "log": jnp.log,
+    "pow": jnp.power, "floor": jnp.floor, "ceil": jnp.ceil,
+    "round": jnp.round, "sign": jnp.sign,
+}
+
+
+def _returns_vector(body) -> bool:
+    """Statically: does the body write _builtin_ret?"""
+    hit: set[str] = set()
+    _collect_assigned(body, hit)
+    return "_builtin_ret" in hit
+
+
+def try_run_aggregation_udf(ctx, udf, args):
+    """Device path; returns a Value or None (→ host fallback)."""
+    from aquery2_tpu.engine.eval import Value
+
+    if ctx.grouping is None and ctx.G != 1:
+        return None
+    G = ctx.G
+    gcap = ctx.gcap
+    lens = ctx.group_lens                       # [gcap] int64
+    starts = ctx.group_starts
+    Lmax = int(jnp.max(lens)) if G else 0       # one scalar sync
+    L = max(int(Lmax), 1)
+    if gcap * L > _MAX_ELEMS:
+        return None                             # skew blow-up: host path
+
+    # group matrices [gcap, L] from the group-major row layout
+    cap = ctx.ws.capacity
+    col = jnp.clip(starts[:, None].astype(jnp.int32)
+                   + jnp.arange(L, dtype=jnp.int32)[None, :], 0, cap - 1)
+    lmask = (jnp.arange(L, dtype=jnp.int32)[None, :]
+             < lens[:, None].astype(jnp.int32))
+
+    mats = []
+    scalars = []
+    for p, v in zip(udf.params, args):
+        if v.kind == "scalar":
+            scalars.append((p, jnp.asarray(float(v.data), jnp.float64)))
+        else:
+            rv = ctx.to_row(v)
+            mats.append((p, rv.data.astype(jnp.float64)[col]))
+
+    ret_vec = _returns_vector(udf.body)
+
+    def per_group(length, *mat_rows):
+        env: dict[str, Any] = {}
+        m = (jnp.arange(L, dtype=jnp.int32)
+             < jnp.asarray(length).astype(jnp.int32))
+        for (p, _), row in zip(mats, mat_rows):
+            env[p] = _Vec(row, m)
+        for p, sval in scalars:
+            env[p] = sval
+        env["_builtin_len"] = jnp.asarray(length, jnp.float64)
+        env["_builtin_ret"] = jnp.zeros((L,), jnp.float64)
+        tr = _Tracer(env, L)
+        res = tr.run(udf.body)
+        if ret_vec:
+            return env["_builtin_ret"]
+        if res is None or isinstance(res, _Vec):
+            raise _Untraceable("scalar UDF returned nothing")
+        return jnp.asarray(res, jnp.float64)
+
+    try:
+        out = jax.jit(jax.vmap(per_group))(
+            lens, *[m for _, m in mats])
+    except _Untraceable:
+        return None
+    except (TypeError, ValueError, KeyError) as e:  # untraceable body shape
+        import logging
+
+        logging.getLogger(__name__).debug("udf device lowering failed: %s", e)
+        return None
+
+    if ret_vec:
+        # scatter [gcap, L] back to the group-major row layout
+        seg = jnp.clip(ctx.seg, 0, gcap - 1)
+        row_vals = out[seg, jnp.clip(ctx.pos, 0, L - 1)]
+        return Value("row", row_vals, T.DoubleT)
+    return Value("group", out, T.DoubleT)
