@@ -9,14 +9,17 @@ Reference semantics (server/threading.cpp:158-270, engine/ast.py:
     (CallbackBasedTriggerHost activated via the TA command).
 
 Here both kinds drive Session.run_procedure. Interval triggers run on a
-daemon ticker thread (started lazily); conditional triggers fire
-synchronously from Session.notify_insert — same observable behavior,
-no dedicated thread pool needed (the GIL-side work is tiny; device work
-is async under JAX dispatch anyway).
+daemon ticker thread (started lazily). Conditional triggers dispatch to
+a single worker thread through a queue — the inserting thread never
+blocks on the condition/action (the reference dispatches through its
+thread pool, threading.cpp:223-270; a slow action like the demo's RF
+retrain must not stall ingest), while the one-consumer queue preserves
+per-table firing order.
 """
 
 from __future__ import annotations
 
+import queue
 import threading
 import time
 from dataclasses import dataclass
@@ -42,6 +45,10 @@ class TriggerHost:
         self._lock = threading.Lock()
         self._ticker: threading.Thread | None = None
         self._stop = threading.Event()
+        self._queue: "queue.Queue[Trigger | None]" = queue.Queue()
+        self._worker: threading.Thread | None = None
+        self._idle = threading.Event()
+        self._idle.set()
 
     # -- registration ------------------------------------------------------
 
@@ -87,24 +94,57 @@ class TriggerHost:
 
     def shutdown(self) -> None:
         self._stop.set()
+        if self._worker is not None and self._worker.is_alive():
+            self._queue.put(None)
+            self._worker.join(timeout=2.0)
 
     # -- conditional path ----------------------------------------------------
 
     def notify_insert(self, table_name: str) -> None:
-        """Fire conditional triggers watching `table_name` (reference
-        `post_exec_triggers` → TA command → execTriggerPayloadCond,
-        monetdb_conn.cpp:434-443)."""
+        """Enqueue conditional triggers watching `table_name` for the
+        worker thread (reference `post_exec_triggers` → TA command →
+        thread-pool dispatch, threading.cpp:223-270); the inserting
+        thread returns immediately."""
         with self._lock:
             watchers = [t for t in self.triggers.values()
                         if t.active and t.table == table_name.lower()]
+        if not watchers:
+            return
+        self._ensure_worker()
         for t in watchers:
+            self._idle.clear()
+            self._queue.put(t)
+
+    def _ensure_worker(self) -> None:
+        if self._worker is None or not self._worker.is_alive():
+            self._worker = threading.Thread(target=self._work_loop,
+                                            name="aq-trigger-worker",
+                                            daemon=True)
+            self._worker.start()
+
+    def _work_loop(self) -> None:
+        while True:
+            t = self._queue.get()
+            if t is None:
+                return
             try:
-                cond = self.session.run_procedure(t.when) if t.when else None
-                fire = True
-                if cond is not None and cond.nrows:
-                    v = cond.rows(limit=1)[0][0]
-                    fire = bool(v)
-                if fire:
-                    self.session.run_procedure(t.action)
+                self._fire_conditional(t)
             except Exception as e:
                 self.session.log_error(f"trigger {t.name}: {e}")
+            finally:
+                if self._queue.empty():
+                    self._idle.set()
+
+    def _fire_conditional(self, t: Trigger) -> None:
+        cond = self.session.run_procedure(t.when) if t.when else None
+        fire = True
+        if cond is not None and cond.nrows:
+            v = cond.rows(limit=1)[0][0]
+            fire = bool(v)
+        if fire:
+            self.session.run_procedure(t.action)
+
+    def drain(self, timeout: float = 10.0) -> bool:
+        """Block until every queued conditional trigger has completed —
+        for tests and orderly shutdown."""
+        return self._idle.wait(timeout)

@@ -60,12 +60,55 @@ def test_conditional_trigger(db):
     db.execute("DELETE FROM audit")
     db.execute("create trigger c on t action act when cond")
     db.execute("INSERT INTO t VALUES (1)")       # cond false (count=1)
+    assert db.triggers.drain()                   # actions run async now
     assert db.execute("SELECT count(*) FROM audit").scalar() == 0
     db.execute("INSERT INTO t VALUES (2)")       # cond true (count=2)
+    assert db.triggers.drain()
     assert db.execute("SELECT count(*) FROM audit").scalar() == 1
     db.execute("drop trigger c")
     db.execute("INSERT INTO t VALUES (3)")
+    assert db.triggers.drain()
     assert db.execute("SELECT count(*) FROM audit").scalar() == 1
+
+
+def test_conditional_trigger_does_not_block_insert(db):
+    """A slow action must not stall the inserting thread (reference
+    dispatches through its thread pool, threading.cpp:223-270)."""
+    import time as _time
+
+    db.execute("CREATE TABLE t2(a INT)")
+    calls = []
+
+    class SlowProc:
+        def run(self, name):
+            calls.append(name)
+            _time.sleep(0.5)
+            return None
+
+    db.execute("CREATE TABLE dummy(a INT)")
+    ps = db.procedures
+    ps.start_recording("slowact")
+    db.execute("INSERT INTO dummy VALUES (1)")
+    ps.stop_recording()
+    db.execute("DELETE FROM dummy")
+    # make the recorded action slow by monkey-wrapping run_procedure
+    orig = db.run_procedure
+
+    def slow_run(name):
+        if name == "slowact":
+            _time.sleep(0.5)
+        return orig(name)
+
+    db.run_procedure = slow_run
+    db.execute("create trigger s on t2 action slowact")
+    t0 = _time.perf_counter()
+    db.execute("INSERT INTO t2 VALUES (1)")
+    insert_dt = _time.perf_counter() - t0
+    assert insert_dt < 0.3, f"INSERT blocked {insert_dt:.2f}s on the action"
+    assert db.triggers.drain()
+    assert db.execute("SELECT count(*) FROM dummy").scalar() == 1
+    db.execute("drop trigger s")
+    db.run_procedure = orig
 
 
 def test_interval_trigger(db):
