@@ -58,11 +58,13 @@ forced_platform: str | None = os.environ.get("AQ_TPU_PLATFORM") or None
 # (8,128)/(16,128) TPU tile constraints satisfied after any reshape to 2D.
 MIN_CAPACITY = 1024
 
-# Direct-addressing (perfect-hash) group-by is used when the dense key
-# domain is at most this many slots (reference's PerfectHashTable caps the
-# packed key at 18 bits, server/hasher.h:209-322; on TPU HBM we can afford
-# much more).
-PERFECT_HASH_MAX_DOMAIN = 1 << 22
+# Direct-addressing (perfect-hash) group-by/join is used when the dense
+# key domain is at most this many slots (reference's PerfectHashTable caps
+# the packed key at 18 bits, server/hasher.h:209-322; a 2^27-slot int32
+# position table is 0.5 GB of HBM — cheap next to the 1e8-row sort it
+# replaces: h2o qjg at 1e8 rows was 33 s via the general join, ~2 s via
+# the dense lookup).
+PERFECT_HASH_MAX_DOMAIN = 1 << 27
 
 # One-hot-matmul grouped reduction (MXU path) is used when the number of
 # groups is at most this.
