@@ -271,6 +271,15 @@ class Executor:
             if t is not None:
                 return t
 
+        if not sel.group_by and not sel.assumptions:
+            # ungrouped scan-filter-project-order-limit: ONE jitted
+            # program, ONE host sync (engine/fused_scan.py)
+            from aquery2_tpu.engine import fused_scan
+
+            t = fused_scan.try_run(self.session, sel)
+            if t is not None:
+                return t
+
         ws, residual_where = self._build_sources(sel)
 
         if sel.assumptions:

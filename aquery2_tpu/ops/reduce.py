@@ -189,12 +189,24 @@ def _mxu_reduce(code, add_lanes, min_lanes, max_lanes, domain):
             acc = acc + part.astype(acc_dtype)
         return (acc, new_macc, new_xacc), None
 
+    # under shard_map the scanned inputs are device-varying while these
+    # literal inits are not — pcast the inits to the inputs' vma so the
+    # scan carry types match (jax >= 0.9 vma check)
+    vma = getattr(jax.typeof(code2), "vma", frozenset())
+
+    def _v(x):
+        if not vma:
+            return x
+        if hasattr(jax.lax, "pcast"):
+            return jax.lax.pcast(x, tuple(vma), to="varying")
+        return jax.lax.pvary(x, tuple(vma))
+
     init = (
-        jnp.zeros((dp, nlanes), acc_dtype),
-        [jnp.full((dp,), _big_of(min_lanes[t].dtype),
-                  min_lanes[t].dtype) for t in min_tags],
-        [jnp.full((dp,), _small_of(max_lanes[t].dtype),
-                  max_lanes[t].dtype) for t in max_tags],
+        _v(jnp.zeros((dp, nlanes), acc_dtype)),
+        [_v(jnp.full((dp,), _big_of(min_lanes[t].dtype),
+                     min_lanes[t].dtype)) for t in min_tags],
+        [_v(jnp.full((dp,), _small_of(max_lanes[t].dtype),
+                     max_lanes[t].dtype)) for t in max_tags],
     )
     (acc, macc, xacc), _ = jax.lax.scan(
         step, init, (code2, adds2, mins2, maxs2))
