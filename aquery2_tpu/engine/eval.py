@@ -282,6 +282,8 @@ class EvalContext:
             return self._unary(e)
         if isinstance(e, A.Call):
             return self._call(e)
+        if isinstance(e, A.WindowExpr):
+            return self._window(e)
         if isinstance(e, A.CaseWhen):
             return self._case(e)
         if isinstance(e, A.Index):
@@ -658,6 +660,269 @@ class EvalContext:
             fn = scan.WINDOWED[base]
             data = fn(w, v.data, self.pos, self.flags)
         return Value("row", data, scan.result_type(base, v.sqltype), v.dictionary)
+
+    # -- SQL window functions (OVER) ----------------------------------------
+
+    def _window(self, e: A.WindowExpr) -> Value:
+        """fn(...) OVER (PARTITION BY ... ORDER BY ... [frame]).
+
+        TPU-native plan: one stable lexsort by (validity, partition keys,
+        order keys) moves every partition into a contiguous run; all frame
+        math is then segmented scans over the whole column at once
+        (ops/window.py), and one scatter restores row order. The reference
+        parses the same clause (aquery_parser/windows.py:89-96) and lets
+        MonetDB execute it."""
+        from aquery2_tpu.ops import window as W
+
+        if self.has_groups:
+            raise EvalError(
+                "window functions over GROUP BY queries are not supported; "
+                "wrap the grouped query in a derived table")
+        n, cap = self.ws.n, self.ws.capacity
+        idx = jnp.arange(cap, dtype=jnp.int32)
+
+        def orderable(v: Value) -> jax.Array:
+            r = _to_ranks(v)
+            d = r.data
+            if d.dtype == jnp.bool_:
+                d = d.astype(jnp.int8)
+            return d
+
+        # lexsort keys, minor → major (jnp.lexsort: last key is primary).
+        # Per key, a nulls-last flag sits just above the value key.
+        part_vals = [self.to_row(self.eval(p)) for p in e.partition_by]
+        order_vals = [(self.to_row(self.eval(o.expr)), o.ascending)
+                      for o in e.order_by]
+        keys: list[jax.Array] = []
+        for v, asc in reversed(order_vals):
+            d = orderable(v)
+            keys.append(d if asc else -d)
+            if v.nulls is not None:
+                keys.append(v.nulls)
+        for v in reversed(part_vals):
+            keys.append(orderable(v))
+            if v.nulls is not None:
+                keys.append(v.nulls)
+        invalid = idx >= n
+        keys.append(invalid)
+        perm = jnp.lexsort(tuple(keys)) if keys else idx
+
+        def srt(a: jax.Array) -> jax.Array:
+            return a[perm]
+
+        # partition starts: validity edge or any partition-key change.
+        # NULL keys compare equal to each other (one NULL partition/peer
+        # group): zero the value where null so garbage codes can't split it.
+        def edge(acc: jax.Array, v: Value) -> jax.Array:
+            d = srt(orderable(v))
+            if v.nulls is not None:
+                ns = srt(v.nulls)
+                d = jnp.where(ns, jnp.zeros_like(d), d)
+                acc = acc | jnp.concatenate(
+                    [jnp.ones((1,), bool), ns[1:] != ns[:-1]])
+            return acc | jnp.concatenate(
+                [jnp.ones((1,), bool), d[1:] != d[:-1]])
+
+        valid_s = ~invalid[perm]
+        prev_differs = jnp.concatenate(
+            [jnp.ones((1,), bool), valid_s[1:] != valid_s[:-1]])
+        for v in part_vals:
+            prev_differs = edge(prev_differs, v)
+        flags = prev_differs
+        pos = W.positions(flags)
+        # peer groups: partition start or any order-key change
+        peer_flags = flags
+        for v, _asc in order_vals:
+            peer_flags = edge(peer_flags, v)
+
+        start_i = idx - pos
+        last_i = W.last_index(flags)
+        part_len = (last_i - start_i + 1).astype(jnp.int64)
+
+        def unsort(a: jax.Array) -> jax.Array:
+            return jnp.zeros(cap, a.dtype).at[perm].set(a)
+
+        def out(data_s, sqltype, nulls_s=None, dictionary=None) -> Value:
+            nulls = None if nulls_s is None else unsort(nulls_s)
+            return Value("row", unsort(data_s), sqltype, dictionary,
+                         nulls=nulls)
+
+        fname = e.func.func
+        args = list(e.func.args)
+        if e.func.distinct:
+            raise EvalError("DISTINCT window aggregates are not supported")
+
+        # ---- ranking functions (frame-free) -------------------------------
+        if fname in ("row_number", "rank", "dense_rank", "percent_rank",
+                     "cume_dist", "ntile"):
+            if fname == "row_number":
+                return out((pos + 1).astype(jnp.int64), T.LongT)
+            peer_first = W.first_index(peer_flags)
+            if fname == "rank":
+                return out((peer_first - start_i + 1).astype(jnp.int64),
+                           T.LongT)
+            if fname == "dense_rank":
+                dr = scan.seg_cumsum(peer_flags.astype(jnp.int64), flags)
+                return out(dr, T.LongT)
+            if fname == "percent_rank":
+                rk = (peer_first - start_i).astype(jnp.float64)
+                denom = jnp.maximum(part_len - 1, 1).astype(jnp.float64)
+                return out(jnp.where(part_len > 1, rk / denom, 0.0),
+                           T.DoubleT)
+            if fname == "cume_dist":
+                peer_last = W.last_index(peer_flags)
+                cd = (peer_last - start_i + 1).astype(jnp.float64) \
+                    / part_len.astype(jnp.float64)
+                return out(cd, T.DoubleT)
+            # ntile(k)
+            k = int(_host_scalar(self.eval(args[0]).data))
+            tile = (pos.astype(jnp.int64) * k) // jnp.maximum(part_len, 1) + 1
+            return out(tile, T.LongT)
+
+        # ---- lag / lead ----------------------------------------------------
+        if fname in ("lag", "lead"):
+            v = self.to_row(self.eval(args[0]))
+            off = 1
+            if len(args) >= 2:
+                off = int(_host_scalar(self.eval(args[1]).data))
+            default = None
+            if len(args) >= 3:
+                default = self.eval(args[2])
+            x_s = srt(v.data)
+            n_s = srt(v.nulls) if v.nulls is not None else None
+            tgt = idx - off if fname == "lag" else idx + off
+            in_part = (tgt >= start_i) & (tgt <= last_i)
+            g = jnp.clip(tgt, 0, cap - 1)
+            data = jnp.where(in_part, x_s[g], x_s)
+            nulls = jnp.zeros(cap, bool) if n_s is None else \
+                jnp.where(in_part, n_s[g], False)
+            if default is not None and default.data is not None:
+                dv = default.data
+                if v.sqltype.is_string:
+                    if not (default.sqltype.is_string and v.dictionary):
+                        raise EvalError("lag/lead default must match type")
+                    dv = v.dictionary.encode_one(str(dv))
+                data = jnp.where(in_part, data, jnp.asarray(dv, data.dtype))
+            else:
+                nulls = nulls | ~in_part
+            return out(data, v.sqltype, nulls, v.dictionary)
+
+        # ---- frame resolution ----------------------------------------------
+        lo: int | None
+        hi: int | None
+        lo_idx = hi_idx = None
+        if e.frame is None:
+            if e.order_by:
+                # default frame: RANGE UNBOUNDED PRECEDING .. CURRENT ROW
+                lo, hi = None, 0
+                hi_idx = W.last_index(peer_flags)
+            else:
+                lo = hi = None          # whole partition
+        else:
+            def bound(b: A.FrameBound, is_start: bool):
+                if b.kind == "unbounded_preceding":
+                    return None, None
+                if b.kind == "unbounded_following":
+                    return None, None
+                if b.kind == "current":
+                    if e.frame.unit == "range":
+                        pf = W.first_index(peer_flags) if is_start \
+                            else W.last_index(peer_flags)
+                        return 0, pf
+                    return 0, None
+                if e.frame.unit == "range":
+                    raise EvalError(
+                        "RANGE frames with numeric offsets are not "
+                        "supported; use ROWS")
+                off = b.offset if b.kind == "following" else -b.offset
+                return off, None
+            lo, lo_idx = bound(e.frame.start, True)
+            hi, hi_idx = bound(e.frame.end, False)
+            if e.frame.start.kind == "unbounded_following" or \
+                    e.frame.end.kind == "unbounded_preceding":
+                raise EvalError("invalid window frame bounds")
+
+        lo_i, hi_i, empty = W.frame_bounds(flags, lo, hi, lo_idx, hi_idx)
+
+        # ---- first/last/nth value -------------------------------------------
+        if fname in ("first_value", "last_value", "nth_value"):
+            v = self.to_row(self.eval(args[0]))
+            x_s = srt(v.data)
+            n_s = srt(v.nulls) if v.nulls is not None else None
+            if fname == "first_value":
+                g = lo_i
+            elif fname == "last_value":
+                g = hi_i
+            else:
+                k = int(_host_scalar(self.eval(args[1]).data))
+                g = lo_i + (k - 1)
+                empty = empty | (g > hi_i)
+                g = jnp.clip(g, 0, cap - 1)
+            data = x_s[g]
+            nulls = empty if n_s is None else (n_s[g] | empty)
+            return out(data, v.sqltype, nulls, v.dictionary)
+
+        # ---- frame aggregates ------------------------------------------------
+        if fname not in ("sum", "avg", "mean", "min", "max", "count",
+                         "var", "stddev"):
+            raise EvalError(f"unsupported window function {fname}")
+
+        if fname == "count" and (not args or isinstance(args[0], A.Star)):
+            cnt = jnp.where(empty, 0, (hi_i - lo_i + 1).astype(jnp.int64))
+            return out(cnt, T.LongT)
+
+        v = self.to_row(self.eval(args[0]))
+        x_s = srt(v.data)
+        null_s = srt(v.nulls) if v.nulls is not None else None
+        if v.mask is not None:
+            m = srt(v.mask)
+            null_s = ~m if null_s is None else (null_s | ~m)
+        ind = valid_s if null_s is None else (valid_s & ~null_s)
+
+        if fname == "count":
+            C = scan.seg_cumsum(ind.astype(jnp.int64), flags)
+            c = C[hi_i] - C[lo_i] + ind[lo_i].astype(jnp.int64)
+            return out(jnp.where(empty, 0, c), T.LongT)
+
+        if fname in ("min", "max"):
+            op = jnp.minimum if fname == "min" else jnp.maximum
+            is_str = v.sqltype.is_string and v.dictionary is not None
+            xv = srt(orderable(v)) if is_str else x_s
+            if jnp.issubdtype(xv.dtype, jnp.floating):
+                ident = jnp.inf if fname == "min" else -jnp.inf
+            else:
+                info = jnp.iinfo(xv.dtype)
+                ident = info.max if fname == "min" else info.min
+            xe = jnp.where(ind, xv, jnp.asarray(ident, xv.dtype))
+            if lo is not None and hi is not None and not (lo <= 0 <= hi):
+                raise EvalError(
+                    "bounded min/max window frames must include the "
+                    "current row")
+            r = W.frame_extreme(xe, flags, pos, lo, hi, op, lo_i, hi_i)
+            C = scan.seg_cumsum(ind.astype(jnp.int32), flags)
+            c = C[hi_i] - C[lo_i] + ind[lo_i].astype(jnp.int32)
+            nulls = empty | (c == 0)
+            if is_str:
+                # result is a lexicographic rank → map back to codes
+                ranks = np.asarray(v.dictionary.ranks)
+                code_of_rank = jnp.asarray(np.argsort(ranks).astype(np.int32))
+                r = code_of_rank[jnp.clip(r, 0, len(ranks) - 1)]
+                return out(r, v.sqltype, nulls, v.dictionary)
+            return out(r, v.sqltype, nulls, v.dictionary)
+
+        xz = jnp.where(ind, x_s, jnp.zeros_like(x_s))
+        if fname == "sum":
+            s, c = W.frame_sum_count(xz, ind, flags, lo_i, hi_i)
+            return out(s, T.long_type(v.sqltype), empty | (c == 0))
+        s, q, c = W.frame_moments(xz, ind, flags, lo_i, hi_i)
+        nulls = empty | (c == 0)
+        cs = jnp.maximum(c, 1.0)
+        if fname in ("avg", "mean"):
+            return out(s / cs, T.DoubleT, nulls)
+        varv = jnp.maximum(q / cs - (s / cs) ** 2, 0.0)
+        if fname == "var":
+            return out(varv, T.DoubleT, nulls)
+        return out(jnp.sqrt(varv), T.DoubleT, nulls)
 
     def _call_subvec(self, e: A.Call) -> Value:
         v = self.to_row(self.eval(e.args[0]))

@@ -70,6 +70,34 @@ class CaseWhen(Expr):
     default: Expr | None
 
 
+@dataclass(frozen=True)
+class FrameBound:
+    """One end of a window frame (reference aquery_parser/windows.py:21-41).
+
+    kind: 'unbounded_preceding' | 'preceding' | 'current' | 'following'
+          | 'unbounded_following'; offset set for preceding/following."""
+    kind: str
+    offset: int = 0
+
+
+@dataclass(frozen=True)
+class WindowFrame:
+    """ROWS/RANGE frame (reference windows.py:73-87 row_clause)."""
+    unit: str                    # 'rows' | 'range'
+    start: FrameBound
+    end: FrameBound
+
+
+@dataclass(frozen=True)
+class WindowExpr(Expr):
+    """fn(args) OVER (PARTITION BY ... ORDER BY ... [frame])
+    (reference windows.py:89-96 over_clause)."""
+    func: Call
+    partition_by: tuple[Expr, ...] = ()
+    order_by: tuple["OrderItem", ...] = ()
+    frame: WindowFrame | None = None
+
+
 # --- select ---------------------------------------------------------------
 
 @dataclass(frozen=True)
@@ -115,7 +143,7 @@ class Assumption:
     ascending: bool = True
 
 
-@dataclass
+@dataclass(frozen=True)
 class OrderItem:
     expr: Expr
     ascending: bool = True

@@ -27,6 +27,7 @@ _CLAUSE_KEYWORDS = {
     "right", "full", "outer", "join", "cross", "fields", "element", "lines",
     "values", "as", "asc", "desc", "by", "terminated", "and", "or", "not",
     "like", "is", "null", "in", "between", "distinct", "exists", "using",
+    "over",
 }
 
 
@@ -775,9 +776,67 @@ class Parser:
                 while not self.accept_op(")"):
                     args.append(self.parse_expr())
                     self.accept_op(",")
-                return A.Call(name.lower(), tuple(args), distinct=distinct)
+                call = A.Call(name.lower(), tuple(args), distinct=distinct)
+                if self.at_kw("over"):
+                    return self._over_clause(call)
+                return call
             return A.ColumnRef(name)
         raise self.error("expected expression")
+
+    def _over_clause(self, call: A.Call) -> A.WindowExpr:
+        """OVER (PARTITION BY ... ORDER BY ... [ROWS|RANGE frame])
+        (reference aquery_parser/windows.py:89-96)."""
+        self.expect_kw("over")
+        self.expect_op("(")
+        partition: list[A.Expr] = []
+        order: list[A.OrderItem] = []
+        frame = None
+        if self.accept_kw("partition"):
+            self.expect_kw("by")
+            while True:
+                partition.append(self.parse_expr())
+                if not self.accept_op(","):
+                    break
+        if self.accept_kw("order"):
+            self.expect_kw("by")
+            while True:
+                e = self.parse_expr()
+                asc = True
+                if self.accept_kw("desc"):
+                    asc = False
+                else:
+                    self.accept_kw("asc")
+                order.append(A.OrderItem(e, asc))
+                if not self.accept_op(","):
+                    break
+        unit = self.accept_kw("rows", "range")
+        if unit:
+            if self.accept_kw("between"):
+                start = self._frame_bound()
+                self.expect_kw("and")
+                end = self._frame_bound()
+            else:
+                start = self._frame_bound()
+                end = A.FrameBound("current")
+            frame = A.WindowFrame(unit, start, end)
+        self.expect_op(")")
+        return A.WindowExpr(call, tuple(partition), tuple(order), frame)
+
+    def _frame_bound(self) -> A.FrameBound:
+        """UNBOUNDED PRECEDING | n PRECEDING | CURRENT ROW | n FOLLOWING |
+        UNBOUNDED FOLLOWING (reference windows.py:21-41)."""
+        if self.accept_kw("current"):
+            self.expect_kw("row")
+            return A.FrameBound("current")
+        if self.accept_kw("unbounded"):
+            d = self.expect_kw("preceding", "following")
+            return A.FrameBound("unbounded_" + d)
+        t = self.peek()
+        if t.kind != "int":
+            raise self.error("expected UNBOUNDED/CURRENT ROW/<n> in frame bound")
+        n = int(self.next().text)
+        d = self.expect_kw("preceding", "following")
+        return A.FrameBound(d, n)
 
     def _case(self) -> A.Expr:
         self.next()  # case
