@@ -51,6 +51,11 @@ bucket_policy: str = os.environ.get("AQ_TPU_BUCKET", "pow2")
 
 donate_buffers: bool = _flag("AQ_TPU_DONATE", True)
 
+# Pallas (Mosaic) kernels on the TPU hot paths: one-pass segmented
+# scans/sums replacing log-n XLA doubling. AQ_TPU_PALLAS=0 falls back to
+# pure-XLA formulations everywhere.
+use_pallas: bool = _flag("AQ_TPU_PALLAS", True)
+
 # Forced platform, if any (resolved lazily by runtime.device).
 forced_platform: str | None = os.environ.get("AQ_TPU_PLATFORM") or None
 
@@ -72,10 +77,19 @@ ONEHOT_MATMUL_MAX_GROUPS = 512
 
 
 def bucket_size(n: int) -> int:
-    """Padded capacity for a logical length ``n`` under the bucket policy."""
+    """Padded capacity for a logical length ``n`` under the bucket policy.
+
+    Buckets are {2^k, 3·2^(k-1)}: two per octave, so worst-case padding
+    is 33% instead of pow2's 100% (at 1e8 rows the pow2 bucket 2^27
+    wastes 34% of every array — 1.2 GB per int32 column; 3·2^25 wastes
+    0.7%). Both forms are multiples of 8192, keeping TPU tile reshapes
+    and the Pallas block kernels happy; compile count stays O(log n)."""
     if bucket_policy == "exact":
         return max(int(n), 1)
     cap = MIN_CAPACITY
     while cap < n:
+        mid = cap + (cap >> 1)          # 3·2^(k-1)
+        if n <= mid and mid % 1024 == 0:
+            return mid
         cap <<= 1
     return cap

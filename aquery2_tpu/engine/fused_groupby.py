@@ -808,6 +808,33 @@ def _plan_words(key_ranges):
     return fields, len(words)
 
 
+def _collect_carriers(scatters, env):
+    """Raw scatter-argument row values to ride a sort as payload.
+
+    Reduction lanes (limb splits for exact f32 sums, int64 squares/
+    products for var/corr, identity masking) are built AFTER the sort
+    from these carried values: the sort payload stays as narrow as the
+    source data — at 2^27-row capacity every extra 32-bit lane costs
+    ~1 GB of sort traffic, and the pre-refactor form (2 f32 limb lanes
+    per f32 sum, int64 product lanes for corr) OOM'd h2o q10 at 1e8
+    rows on a 16 GB chip."""
+    keys: list[str] = []
+    rows = []
+    seen: set[str] = set()
+    for _fp, (kind, cargs) in scatters.items():
+        if kind in ("count", "median"):
+            continue
+        for a in cargs:
+            if isinstance(a, A.Star):
+                continue
+            ck = repr(a)
+            if ck not in seen:
+                seen.add(ck)
+                keys.append(ck)
+                rows.append(_row_eval(a, env))
+    return keys, rows
+
+
 def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
                      n, key_mins, key_ranges):
     """Packed-code sort group-by: one jitted program —
@@ -871,16 +898,13 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
             if med_fps:
                 med_keys = [_row_eval(scatters[med_fps[0]][1][0], env)]
 
-            lanes = _build_lanes(env, valid, scatters)
-            lanes[0].pop("__counts__")      # counts come from boundary idx
-            payload, tag_groups = _lane_payload(lanes)
+            carrier_keys, carrier_rows = _collect_carriers(scatters, env)
             nk = nwords + len(med_keys)
-            sorted_res = jax.lax.sort([*wvals, *med_keys, *payload],
+            sorted_res = jax.lax.sort([*wvals, *med_keys, *carrier_rows],
                                       num_keys=nk, is_stable=False)
             scw = sorted_res[:nwords]
             med_sorted = sorted_res[nwords:nk]
-            add_s, mins_s, maxs_s, f64s_s = _split_sorted_payload(
-                sorted_res, nk, tag_groups)
+            carriers_s = dict(zip(carrier_keys, sorted_res[nk:]))
 
             dif = jnp.zeros((cap - 1,), jnp.bool_)
             for sw in scw:
@@ -888,6 +912,11 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
             starts = jnp.concatenate([jnp.ones((1,), jnp.bool_), dif])
             valid_s = scw[0] < sentinel
             last = jnp.concatenate([dif, jnp.ones((1,), jnp.bool_)]) & valid_s
+
+            add_s, mins_s, maxs_s, f64s_s = _build_lanes(
+                {}, valid_s, scatters,
+                eval_fn=lambda e: carriers_s[repr(e)])
+            add_s.pop("__counts__")         # counts come from boundary idx
             outs, ends_idx, ng = R.sorted_group_reduce(
                 starts, last, add_s, mins_s, maxs_s, f64s_s, gcap,
                 counts_from_ends="__counts__",
@@ -963,17 +992,19 @@ def _run_sort(session, sel, table, p, col_order, arrays, fingerprint, n):
             # interleave with invalid rows — no sentinel key values
             invalid = ~valid
             ops = [_row_eval(ke, env) for ke in keys]
-            # reduction lanes ride the sort as extra operands — a random
-            # gather costs as much as the whole sort on TPU (~9 ns/row)
-            lanes = _build_lanes(env, valid, scatters)
-            payload, tag_groups = _lane_payload(lanes)
+            # raw scatter args ride the sort as extra operands — a random
+            # gather costs as much as the whole sort on TPU (~9 ns/row);
+            # reduction lanes are built post-sort (_collect_carriers)
+            carrier_keys, carrier_rows = _collect_carriers(scatters, env)
             sorted_res = jax.lax.sort(
-                [invalid, *ops, *payload], num_keys=1 + len(ops),
+                [invalid, *ops, *carrier_rows], num_keys=1 + len(ops),
                 is_stable=False)
             valid_s = ~sorted_res[0]
             sorted_keys = sorted_res[1:1 + len(ops)]
-            add_s, mins_s, maxs_s, f64s_s = _split_sorted_payload(
-                sorted_res, len(ops) + 1, tag_groups)
+            carriers_s = dict(zip(carrier_keys, sorted_res[1 + len(ops):]))
+            add_s, mins_s, maxs_s, f64s_s = _build_lanes(
+                {}, valid_s, scatters,
+                eval_fn=lambda e: carriers_s[repr(e)])
 
             dif = sorted_res[0][1:] != sorted_res[0][:-1]
             for sk in sorted_keys:

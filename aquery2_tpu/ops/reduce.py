@@ -270,11 +270,17 @@ def segment_reduce(code: jax.Array, add_lanes: dict[str, jax.Array],
 
 def _segmented_extreme(starts: jax.Array, v: jax.Array, is_min: bool):
     """Per-row running min/max that resets at segment starts; the value
-    at each segment's last row is the segment extreme. Hillis-Steele
-    distance-masked doubling via ops.scan.seg_scan (a tuple
-    `associative_scan` is catastrophically slow on TPU — see there)."""
-    from aquery2_tpu.ops.scan import seg_scan
+    at each segment's last row is the segment extreme. One-pass Pallas
+    block scan on TPU, Hillis-Steele doubling via ops.scan.seg_scan
+    elsewhere (a tuple `associative_scan` is catastrophically slow on
+    TPU — see there)."""
+    from aquery2_tpu.ops.scan import _pallas_scan_ok, seg_scan
 
+    if _pallas_scan_ok(v) and v.dtype in (jnp.int32, jnp.float32):
+        from aquery2_tpu.ops import pallas_kernels as PK
+
+        return PK.seg_scan_multi(starts, (v,),
+                                 ("min" if is_min else "max",))[0]
     return seg_scan(v, starts, jnp.minimum if is_min else jnp.maximum)
 
 
@@ -310,12 +316,28 @@ def sorted_group_reduce(starts, last, add_lanes, min_lanes, max_lanes,
     n = int(starts.shape[0])
     ng = jnp.sum(last, dtype=jnp.int32)
 
-    # per-row values whose group-end entries we need
+    # Add lanes: a SEGMENTED 64-bit running sum in int32 limb pairs via
+    # the one-pass Pallas kernel when eligible — the value at each
+    # group's END row is directly the group sum (no global-cumsum
+    # prev-diff), all arithmetic native int32. Fallback: global int64
+    # cumsum (emulated on TPU: measured ~13× slower than int32 at 16M
+    # rows) + boundary difference.
+    pair_ok = _pallas_segsum_ok(n)
     end_vals: dict[str, jax.Array] = {}
+    pair_tags: set[str] = set()
     for t, col in (add_lanes or {}).items():
         if t == counts_from_ends:
             continue
-        end_vals[t] = jnp.cumsum(col.astype(jnp.int64))
+        if pair_ok and (col.dtype in (jnp.int64, jnp.int32, jnp.float32)
+                        or col.dtype == jnp.bool_):
+            from aquery2_tpu.ops import pallas_kernels as PK
+            hi, lo = PK.split_i64_limbs(col)
+            shi, slo = PK.seg_cumsum_i64(starts, hi, lo)
+            end_vals[t + "\0hi"] = shi
+            end_vals[t + "\0lo"] = slo
+            pair_tags.add(t)
+        else:
+            end_vals[t] = jnp.cumsum(col.astype(jnp.int64))
     for t, col in (min_lanes or {}).items():
         end_vals[t] = _segmented_extreme(starts, col, True)
     for t, col in (max_lanes or {}).items():
@@ -328,12 +350,14 @@ def sorted_group_reduce(starts, last, add_lanes, min_lanes, max_lanes,
     use_compaction_sort = gcap * 4 >= n and len(end_vals) >= 2
     if use_compaction_sort:
         idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+        # the sort key doubles as the end-row index (key = idx at end
+        # rows, which sort to the front) — no separate idx payload lane
         key = jnp.where(last, idx, idx + jnp.int32(n))   # unique → unstable ok
         tags = list(end_vals)
-        res = jax.lax.sort([key, idx, *[end_vals[t] for t in tags]],
+        res = jax.lax.sort([key, *[end_vals[t] for t in tags]],
                            num_keys=1, is_stable=False)
-        ends_idx = res[1][:gcap]
-        at_ends = {t: r[:gcap] for t, r in zip(tags, res[2:])}
+        ends_idx = jnp.minimum(res[0][:gcap], n - 1)
+        at_ends = {t: r[:gcap] for t, r in zip(tags, res[1:])}
     else:
         ends_idx = compact_indices(last, gcap, fill=n - 1)
         at_ends = {t: v[ends_idx] for t, v in end_vals.items()}
@@ -350,6 +374,11 @@ def sorted_group_reduce(starts, last, add_lanes, min_lanes, max_lanes,
     for t in (add_lanes or {}):
         if t == counts_from_ends:
             continue
+        if t in pair_tags:
+            from aquery2_tpu.ops import pallas_kernels as PK
+            outs[t] = PK.join_i64_limbs(at_ends[t + "\0hi"],
+                                        at_ends[t + "\0lo"])
+            continue
         ends_v = at_ends[t]
         prev = jnp.concatenate([jnp.zeros((1,), jnp.int64), ends_v[:-1]])
         outs[t] = ends_v - prev
@@ -364,6 +393,18 @@ def sorted_group_reduce(starts, last, add_lanes, min_lanes, max_lanes,
     for t in (extract or {}):
         outs[t] = at_ends[t]
     return outs, ends_idx, ng
+
+
+def _pallas_segsum_ok(n: int) -> bool:
+    """Gate for the one-pass Pallas segmented limb-pair sum: TPU backend
+    (Mosaic), capacity a Pallas-block multiple, large enough that one
+    HBM pass beats XLA's log-n doubling. AQ_TPU_PALLAS=0 disables."""
+    from aquery2_tpu import config
+    if not config.use_pallas:
+        return False
+    if n % 8192 != 0 or n < (1 << 16):
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def _big_of(dt):

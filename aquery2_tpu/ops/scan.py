@@ -96,19 +96,48 @@ def seg_scan(x: jax.Array, flags: jax.Array | None, op) -> jax.Array:
     return x
 
 
+def _pallas_scan_ok(x: jax.Array) -> bool:
+    """Route to the one-pass Pallas block scan (ops/pallas_kernels.py):
+    TPU backend, Pallas-tileable capacity, big enough that one HBM pass
+    beats XLA's log2(n) doubling (measured 10× at 16M rows on v5e)."""
+    from aquery2_tpu import config
+
+    if not config.use_pallas:
+        return False
+    if x.ndim != 1 or x.shape[0] % 8192 != 0 or x.shape[0] < (1 << 16):
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def seg_cumsum(x: jax.Array, flags: jax.Array | None) -> jax.Array:
+    if _pallas_scan_ok(x):
+        from aquery2_tpu.ops import pallas_kernels as PK
+
+        if x.dtype in (jnp.int32, jnp.float32):
+            return PK.seg_scan_multi(flags, (x,), ("add",))[0]
+        if x.dtype == jnp.int64:
+            hi, lo = PK.split_i64_limbs(x)
+            return PK.join_i64_limbs(*PK.seg_cumsum_i64(flags, hi, lo))
     if flags is None:
         return jnp.cumsum(x)
     return seg_scan(x, flags, jnp.add)
 
 
 def seg_cummin(x: jax.Array, flags: jax.Array | None) -> jax.Array:
+    if _pallas_scan_ok(x) and x.dtype in (jnp.int32, jnp.float32):
+        from aquery2_tpu.ops import pallas_kernels as PK
+
+        return PK.seg_scan_multi(flags, (x,), ("min",))[0]
     if flags is None:
         return jax.lax.cummin(x)
     return seg_scan(x, flags, jnp.minimum)
 
 
 def seg_cummax(x: jax.Array, flags: jax.Array | None) -> jax.Array:
+    if _pallas_scan_ok(x) and x.dtype in (jnp.int32, jnp.float32):
+        from aquery2_tpu.ops import pallas_kernels as PK
+
+        return PK.seg_scan_multi(flags, (x,), ("max",))[0]
     if flags is None:
         return jax.lax.cummax(x)
     return seg_scan(x, flags, jnp.maximum)

@@ -126,23 +126,32 @@ def make_data(session, n: int, seed: int = 42,
 
 
 def run_suite(session, names, rows, iters, verbose=False,
-              tag="") -> dict[str, float]:
+              tag="") -> tuple[dict[str, float], dict[str, str]]:
+    """Per-query best-of-iters seconds + errors. A failing query is
+    recorded (NOT silently skipped) and never kills the suite: the
+    driver must always receive the one-line JSON result."""
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         sql = QUERIES[name]
-        # warmup (compile)
-        session.execute(sql)
-        best = float("inf")
-        for _ in range(iters):
-            t1 = time.perf_counter()
-            r = session.execute(sql)
-            dt = time.perf_counter() - t1
-            best = min(best, dt)
-        times[name] = best
-        if verbose:
-            print(f"# {tag}{name}: {best * 1000:.1f} ms ({r.nrows} rows out)",
-                  file=sys.stderr)
-    return times
+        try:
+            session.execute(sql)        # warmup (compile)
+            best = float("inf")
+            for _ in range(iters):
+                t1 = time.perf_counter()
+                r = session.execute(sql)
+                dt = time.perf_counter() - t1
+                best = min(best, dt)
+            times[name] = best
+            if verbose:
+                print(f"# {tag}{name}: {best * 1000:.1f} ms "
+                      f"({r.nrows} rows out)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+            if verbose:
+                print(f"# {tag}{name}: FAILED {errors[name]}",
+                      file=sys.stderr)
+    return times, errors
 
 
 # grouped single-table queries the distributed executor covers (no median
@@ -162,8 +171,8 @@ def run_scaling(rows: int, iters: int, ndev: int, verbose: bool) -> dict:
     for nd in (1, ndev):
         session = aq.connect(mesh=nd if nd > 1 else None)
         make_data(session, rows)
-        times = run_suite(session, SCALING_QUERIES, rows, iters,
-                          verbose=verbose, tag=f"[{nd}dev] ")
+        times, _errors = run_suite(session, SCALING_QUERIES, rows, iters,
+                                   verbose=verbose, tag=f"[{nd}dev] ")
         out[nd] = rows * len(SCALING_QUERIES) / sum(times.values())
     eff = (out[ndev] / ndev) / out[1]
     return {"rows_per_s_1dev": round(out[1], 1),
@@ -211,15 +220,15 @@ def main() -> int:
         print(f"# datagen: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
 
     names = [q.strip() for q in args.queries.split(",") if q.strip()]
-    times = run_suite(session, names, args.rows, args.iters,
-                      verbose=args.verbose)
+    times, errors = run_suite(session, names, args.rows, args.iters,
+                              verbose=args.verbose)
 
-    total_time = sum(times.values())
-    total_rows = args.rows * len(names)
+    total_time = sum(times.values()) or float("inf")
+    total_rows = args.rows * len(times)
     rows_per_s = total_rows / total_time
 
     # baseline at the same per-query row count, for the reference-timed set
-    ref_names = [n for n in names if n in REF_TIMES]
+    ref_names = [n for n in names if n in REF_TIMES and n in times]
     if ref_names:
         ref_total = sum(REF_TIMES[n] * (args.rows / 1e7) for n in ref_names)
         ours_total = sum(times[n] for n in ref_names)
@@ -229,16 +238,28 @@ def main() -> int:
     else:
         vs_baseline = 0.0
 
-    print(json.dumps({
+    rec = {
         "metric": "h2o_groupby_join_rows_per_s_per_chip",
         "value": round(rows_per_s, 1),
         "unit": "rows/s",
         "vs_baseline": round(vs_baseline, 3),
         "detail": {k: round(v, 4) for k, v in times.items()},
         "rows": args.rows,
-    }))
+    }
+    if errors:
+        rec["errors"] = errors
+    print(json.dumps(rec))
     return 0
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    try:
+        raise SystemExit(main())
+    except SystemExit:
+        raise
+    except Exception as e:  # last-resort: the driver still gets a JSON line
+        print(json.dumps({
+            "metric": "h2o_groupby_join_rows_per_s_per_chip",
+            "value": 0, "unit": "rows/s", "vs_baseline": 0,
+            "error": f"{type(e).__name__}: {e}"[:300]}))
+        raise SystemExit(1)

@@ -30,3 +30,85 @@ def test_best_profit_kernel(rng):
     got = float(best_profit(jnp.asarray(x), n, interpret=True))
     want = float((x[:n] - np.minimum.accumulate(x[:n])).max())
     assert got == want
+
+
+# --- one-pass segmented scans (the TPU hot-path kernels) -------------------
+
+def _seg_oracle(x, flags, op, dtype=None):
+    out = np.empty(len(x), dtype or x.dtype)
+    acc = None
+    for i in range(len(x)):
+        v = x[i].astype(dtype) if dtype else x[i]
+        acc = v if (flags[i] or acc is None) else op(acc, v)
+        out[i] = acc
+    return out
+
+
+def test_seg_scan_multi(rng):
+    from aquery2_tpu.ops.pallas_kernels import seg_scan_multi
+
+    cap = 8192 * 3
+    xi = rng.integers(-50, 50, cap).astype(np.int32)
+    xf = rng.normal(size=cap).astype(np.float32)
+    flags = rng.random(cap) < 0.01
+    flags[0] = True
+    got = seg_scan_multi(jnp.asarray(flags),
+                         (jnp.asarray(xi), jnp.asarray(xf), jnp.asarray(xf)),
+                         ("add", "min", "max"), interpret=True,
+                         block_rows=64)
+    np.testing.assert_array_equal(np.asarray(got[0]),
+                                  _seg_oracle(xi, flags, np.add))
+    np.testing.assert_array_equal(np.asarray(got[1]),
+                                  _seg_oracle(xf, flags, np.minimum))
+    np.testing.assert_array_equal(np.asarray(got[2]),
+                                  _seg_oracle(xf, flags, np.maximum))
+
+
+def test_seg_scan_multi_no_flags(rng):
+    from aquery2_tpu.ops.pallas_kernels import seg_scan_multi
+
+    cap = 8192 * 2
+    xi = rng.integers(-50, 50, cap).astype(np.int32)
+    got = seg_scan_multi(None, (jnp.asarray(xi),), ("add",),
+                         interpret=True, block_rows=64)[0]
+    np.testing.assert_array_equal(np.asarray(got), np.cumsum(xi))
+
+
+def test_seg_cumsum_i64_limb_pairs(rng):
+    from aquery2_tpu.ops.pallas_kernels import (join_i64_limbs,
+                                                seg_cumsum_i64,
+                                                split_i64_limbs)
+
+    cap = 8192 * 2
+    flags = rng.random(cap) < 0.005
+    flags[0] = True
+    cases = [
+        rng.integers(-2**40, 2**40, cap),                  # int64 w/ carries
+        rng.integers(-2**30, 2**30, cap).astype(np.int32),
+        rng.integers(-2**24, 2**24, cap).astype(np.float32),  # limb lanes
+        (rng.random(cap) < 0.5),                           # counts
+    ]
+    for v in cases:
+        hi, lo = split_i64_limbs(jnp.asarray(v))
+        shi, slo = seg_cumsum_i64(jnp.asarray(flags), hi, lo,
+                                  interpret=True, block_rows=64)
+        got = np.asarray(join_i64_limbs(shi, slo))
+        want = _seg_oracle(np.asarray(v), flags, np.add, dtype=np.int64)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_seg_cumsum_i64_cross_block_carry(rng):
+    from aquery2_tpu.ops.pallas_kernels import (join_i64_limbs,
+                                                seg_cumsum_i64,
+                                                split_i64_limbs)
+
+    cap = 8192 * 4
+    v = np.full(cap, 2**31 - 1, np.int32)     # forces lo-limb carries
+    flags = np.zeros(cap, bool)
+    flags[20000] = True                        # one boundary mid-block
+    hi, lo = split_i64_limbs(jnp.asarray(v))
+    shi, slo = seg_cumsum_i64(jnp.asarray(flags), hi, lo,
+                              interpret=True, block_rows=64)
+    got = np.asarray(join_i64_limbs(shi, slo))
+    want = _seg_oracle(v, flags, np.add, dtype=np.int64)
+    np.testing.assert_array_equal(got, want)
