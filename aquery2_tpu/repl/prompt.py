@@ -83,6 +83,40 @@ class Repl:
             # the reference switches MonetDB/DuckDB/C++ backends here;
             # this engine has one executor — accept and report
             print(f"single TPU engine (ignored: {rest.strip() or 'status'})")
+        elif cmd == "attach":
+            # attach <alias> <path.db|sqlite:...|:memory:> — a query-
+            # executing backend (reference DataSource + get_server[])
+            parts = rest.split()
+            if len(parts) != 2:
+                print("usage: attach <alias> <sqlite-path|:memory:>")
+            else:
+                self.session.attach(parts[0], parts[1])
+                print(f"attached {parts[0]} (SQLite)")
+        elif cmd == "detach":
+            self.session.detach(rest.strip())
+        elif cmd == "backend":
+            # backend <alias> <sql...> — run SQL on an attached backend;
+            # SELECTs materialize as device tables and print
+            alias, _, sql = rest.partition(" ")
+            try:
+                t = self.session.backend_exec(alias, sql.strip())
+            except Exception as e:  # noqa: BLE001 — REPL surface
+                print(f"error: {e}")
+            else:
+                if t is not None:
+                    from aquery2_tpu.storage.result import Result
+
+                    print(Result(t).format())
+        elif cmd == "export":
+            # export <table> <alias> [target] — append-back
+            # (reference table_ext_monetdb.hpp:34-86)
+            parts = rest.split()
+            if len(parts) < 2:
+                print("usage: export <table> <alias> [target]")
+            else:
+                self.session.backend_append(
+                    parts[1], parts[0],
+                    parts[2] if len(parts) > 2 else None)
         elif cmd == "keep":
             print("keep: compiled programs persist in the XLA cache by default")
         elif cmd in ("r", "rr"):

@@ -59,6 +59,9 @@ class Session:
         self.base_dir = base_dir or os.getcwd()
         self.executor = Executor(self)
         self.log_level = "info"
+        # attached query-executing SQL backends by alias (reference
+        # DataSource vtable + get_server[] slots, server.cpp:12-18)
+        self.sources: dict[str, object] = {}
 
     # -- distributed placement ----------------------------------------------
 
@@ -129,6 +132,46 @@ class Session:
                 last = r
         return last
 
+    # -- attached SQL backends (reference DataSource, DataSource_conn.h) ----
+
+    def attach(self, alias: str, source) -> None:
+        """Attach a query-executing backend. ``source`` is a DataSource,
+        a DB-API connection, or a path/spec string (SQLite)."""
+        from aquery2_tpu.storage.datasource import (DataSource, DBAPISource,
+                                                    open_source)
+
+        if isinstance(source, str):
+            source = open_source(source if source == ":memory:"
+                                 else self.resolve_path(source)
+                                 if not source.startswith("sqlite:")
+                                 else source)
+        elif not isinstance(source, DataSource):
+            source = DBAPISource(source)
+        self.sources[alias.lower()] = source
+
+    def detach(self, alias: str) -> None:
+        src = self.sources.pop(alias.lower(), None)
+        if src is not None:
+            src.close()
+
+    def _source(self, alias: str):
+        src = self.sources.get(alias.lower())
+        if src is None:
+            raise ExecError(f"no attached backend {alias!r}; use attach()")
+        return src
+
+    def backend_exec(self, alias: str, sql: str, into: str | None = None):
+        """Run SQL on an attached backend (reference DataSource::exec);
+        row-returning statements come back as a device Table."""
+        return self._source(alias).exec(sql, session=self, into=into)
+
+    def backend_append(self, alias: str, table_name: str,
+                       target: str | None = None) -> None:
+        """Write a device table into an attached backend (the reference's
+        monetdb_append_table path, table_ext_monetdb.hpp:34-86)."""
+        tbl = self.catalog.get(table_name)
+        self._source(alias).append_table(tbl, target or table_name)
+
     # -- stored procedures (REPL `procedure p record/stop/run/...`) --------
 
     def run_procedure(self, name: str) -> Result | None:
@@ -141,6 +184,12 @@ class Session:
 
     def close(self) -> None:
         self.triggers.shutdown()
+        for src in self.sources.values():
+            try:
+                src.close()
+            except Exception:
+                pass
+        self.sources.clear()
 
     def __enter__(self) -> "Session":
         return self

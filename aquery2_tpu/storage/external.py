@@ -83,14 +83,17 @@ def import_cursor(session, table_name: str, cursor: Any,
     cols: list[Column | VectorColumn] = []
     for j, (nm, t) in enumerate(schema):
         vals = [r[j] for r in rows]
+        valid = None
+        if any(v is None for v in vals):
+            valid = np.asarray([v is not None for v in vals])
         if t.is_string:
             d = StringDict()
             codes = d.encode(["" if v is None else str(v) for v in vals])
-            cols.append(Column(nm, T.StrT, codes, dictionary=d))
+            cols.append(Column(nm, T.StrT, codes, dictionary=d, valid=valid))
         else:
             arr = np.asarray([0 if v is None else v for v in vals],
                              dtype=t.np_dtype)
-            cols.append(Column(nm, t, arr))
+            cols.append(Column(nm, t, arr, valid=valid))
     tbl = Table(table_name, cols)
     session.catalog.create(tbl, replace=True)
     return tbl
