@@ -5,9 +5,11 @@ keys land on the same chip — destination = hash(key) mod ndev — via one
 `all_to_all` over ICI, then each chip runs the local sort-merge join
 (engine/join.py). Buckets are fixed-capacity (static shapes for XLA):
 each shard packs its rows into [ndev, cap] send buffers by stable sort on
-destination; overflowing a bucket marks rows invalid (callers size cap
-with slack; skew handling: heavy-hitter keys should be broadcast-
-replicated instead — TODO round 2).
+destination; rows overflowing a bucket are counted on device and the
+``_safe`` wrapper retries with doubled caps until the exchange is
+lossless (same skew policy as dist_groupby.dist_grouped_sums_shuffle_safe
+— doubling converges in O(log skew) rounds; each retry recompiles once
+per cap, amortized by the jit cache).
 """
 
 from __future__ import annotations
@@ -25,7 +27,8 @@ from aquery2_tpu.ops import hashing
 def _pack_buckets(key: jax.Array, payload: jax.Array, valid: jax.Array,
                   ndev: int, cap: int):
     """Sort rows by destination and scatter into [ndev, cap] buckets.
-    Returns (keys[ndev,cap], payload[ndev,cap], ok[ndev,cap])."""
+    Returns (keys[ndev,cap], payload[ndev,cap], ok[ndev,cap],
+    ndrop scalar — valid rows that overflowed their bucket)."""
     dest = (hashing.hash64(key.astype(jnp.int64)) % jnp.uint64(ndev)).astype(jnp.int32)
     dest = jnp.where(valid, dest, ndev)  # invalid rows → overflow dest
     order = jnp.argsort(dest, stable=True)
@@ -45,8 +48,9 @@ def _pack_buckets(key: jax.Array, payload: jax.Array, valid: jax.Array,
     keys_b = jnp.zeros((ndev * cap + 1,), key.dtype).at[slot].set(k_sorted)
     pay_b = jnp.zeros((ndev * cap + 1,), payload.dtype).at[slot].set(p_sorted)
     okf = jnp.zeros((ndev * cap + 1,), jnp.bool_).at[slot].set(ok)
+    ndrop = jnp.sum(((d_sorted < ndev) & ~ok).astype(jnp.int32))
     return (keys_b[:-1].reshape(ndev, cap), pay_b[:-1].reshape(ndev, cap),
-            okf[:-1].reshape(ndev, cap))
+            okf[:-1].reshape(ndev, cap), ndrop)
 
 
 def dist_join_counts(mesh: Mesh, axis: str,
@@ -55,16 +59,19 @@ def dist_join_counts(mesh: Mesh, axis: str,
                      bucket_cap: int):
     """Radix-shuffle both sides; per shard, count matching pairs of the
     re-partitioned sides (the probe phase of a distributed hash join).
-    Returns the global pair count (replicated scalar) — the building
-    block the full distributed join materialization reuses."""
+    Returns (pairs, dropped): the global pair count and the global count
+    of rows that overflowed their fixed shuffle bucket and were NOT
+    exchanged (both replicated scalars). ``dropped > 0`` means the pair
+    count undercounts — use :func:`dist_join_counts_safe` to retry with
+    larger caps until lossless."""
     ndev = mesh.shape[axis]
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(axis), P(axis), P(axis), P(axis)),
-             out_specs=P())
+             out_specs=(P(), P()))
     def step(lk, lv, rk, rv):
-        lkb, lpb, lok = _pack_buckets(lk, lk, lv, ndev, bucket_cap)
-        rkb, rpb, rok = _pack_buckets(rk, rk, rv, ndev, bucket_cap)
+        lkb, lpb, lok, ldrop = _pack_buckets(lk, lk, lv, ndev, bucket_cap)
+        rkb, rpb, rok, rdrop = _pack_buckets(rk, rk, rv, ndev, bucket_cap)
         # exchange: bucket i goes to device i
         lk_recv = jax.lax.all_to_all(lkb, axis, 0, 0, tiled=False)
         lok_recv = jax.lax.all_to_all(lok, axis, 0, 0, tiled=False)
@@ -80,6 +87,27 @@ def dist_join_counts(mesh: Mesh, axis: str,
         lo = jnp.searchsorted(rk_sorted, lkf, side="left")
         hi = jnp.searchsorted(rk_sorted, lkf, side="right")
         cnt = jnp.sum(jnp.where(lof, (hi - lo).astype(jnp.int64), 0))
-        return jax.lax.psum(cnt, axis)
+        return (jax.lax.psum(cnt, axis),
+                jax.lax.psum(ldrop + rdrop, axis))
 
     return step(lkey, lvalid, rkey, rvalid)
+
+
+def dist_join_counts_safe(mesh: Mesh, axis: str,
+                          lkey: jax.Array, lvalid: jax.Array,
+                          rkey: jax.Array, rvalid: jax.Array,
+                          bucket_cap: int, max_retries: int = 4):
+    """Skew-robust distributed join count: retry with doubled bucket
+    caps until no row is dropped by the fixed-capacity exchange (a
+    heavy-hitter key routing > bucket_cap rows of one shard to one
+    destination overflows; doubling converges in O(log skew) rounds).
+    Returns the exact global pair count."""
+    cap = int(bucket_cap)
+    for _ in range(max_retries + 1):
+        pairs, dropped = dist_join_counts(mesh, axis, lkey, lvalid,
+                                          rkey, rvalid, cap)
+        if int(dropped) == 0:
+            return pairs
+        cap *= 2
+    raise RuntimeError(
+        f"dist_join_counts: bucket overflow persists at cap={cap}")

@@ -39,8 +39,8 @@ def distributed_query_step(mesh: Mesh, axis: str, codes, v1, v3, time_col,
         dist_groupby.dist_grouped_sums_shuffle(
             mesh, axis, codes, [v1], valid, bucket_cap, bucket_cap))
 
-    pairs = dist_join.dist_join_counts(mesh, axis, lkey, valid, rkey, valid,
-                                       bucket_cap)
+    pairs, _dropped = dist_join.dist_join_counts(mesh, axis, lkey, valid,
+                                                 rkey, valid, bucket_cap)
 
     running = dist_scan.dist_sums(mesh, axis, time_col)
     return counts, sums, fsums, pairs, running, sh_counts, sh_ng

@@ -54,15 +54,41 @@ def test_dist_join_counts(mesh, rng):
     rvalid = np.ones(n, bool)
     lvalid[-50:] = False
     rvalid[-70:] = False
-    got = int(dist_join.dist_join_counts(
+    pairs, dropped = dist_join.dist_join_counts(
         mesh, "shards",
         shard_1d(mesh, jnp.asarray(lk)), shard_1d(mesh, jnp.asarray(lvalid)),
         shard_1d(mesh, jnp.asarray(rk)), shard_1d(mesh, jnp.asarray(rvalid)),
-        bucket_cap=1024))
+        bucket_cap=1024)
+    assert int(dropped) == 0
     lc = np.bincount(lk[lvalid], minlength=500)
     rc = np.bincount(rk[rvalid], minlength=500)
     want = int((lc.astype(np.int64) * rc.astype(np.int64)).sum())
-    assert got == want
+    assert int(pairs) == want
+
+
+def test_dist_join_counts_skew_retry(mesh, rng):
+    """Adversarial skew: one key carries half of all rows, bucket_cap is
+    tiny — the first exchange overflows (dropped > 0) and the _safe
+    wrapper doubles caps until the pair count is exact."""
+    n = 8 * 256
+    lk = rng.integers(0, 50, n).astype(np.int64)
+    lk[: n // 2] = 7                       # heavy hitter
+    rk = rng.integers(0, 50, n).astype(np.int64)
+    valid = np.ones(n, bool)
+    lks = shard_1d(mesh, jnp.asarray(lk))
+    rks = shard_1d(mesh, jnp.asarray(rk))
+    vs = shard_1d(mesh, jnp.asarray(valid))
+
+    _, dropped = dist_join.dist_join_counts(mesh, "shards", lks, vs,
+                                            rks, vs, bucket_cap=64)
+    assert int(dropped) > 0                # tiny caps do overflow
+
+    pairs = dist_join.dist_join_counts_safe(mesh, "shards", lks, vs,
+                                            rks, vs, bucket_cap=64)
+    lc = np.bincount(lk, minlength=50)
+    rc = np.bincount(rk, minlength=50)
+    want = int((lc.astype(np.int64) * rc.astype(np.int64)).sum())
+    assert int(pairs) == want
 
 
 def test_dist_grouped_sums_shuffle(mesh, rng):
