@@ -80,9 +80,31 @@ class Repl:
             session = self.session  # noqa: F841 (for the debugger user)
             pdb.set_trace()
         elif cmd == "engine":
-            # the reference switches MonetDB/DuckDB/C++ backends here;
-            # this engine has one executor — accept and report
-            print(f"single TPU engine (ignored: {rest.strip() or 'status'})")
+            # the reference switches MonetDB/DuckDB/C++ backends here
+            # (prompt.py:560-583); the analogue is the jax platform:
+            # `engine cpu` / `engine tpu` retargets compute if the
+            # backend is not yet pinned (jax fixes it at first use)
+            want = rest.strip().lower()
+            import jax
+
+            if not want or want == "status":
+                print(f"engine: jax platform = "
+                      f"{jax.default_backend()}")
+            elif want in ("cpu", "tpu", "gpu", "axon"):
+                try:
+                    cur = jax.default_backend()
+                    if cur == want or (want == "tpu" and cur == "axon"):
+                        print(f"engine: already on {cur}")
+                    else:
+                        self._switch_backend(want)
+                        print(f"engine: switched to "
+                              f"{jax.default_backend()}")
+                except Exception as e:  # noqa: BLE001 — REPL surface
+                    print(f"engine: cannot switch to {want!r} ({e}); "
+                          f"set AQ_TPU_PLATFORM/JAX_PLATFORMS and restart")
+            else:
+                print(f"engine: unknown backend {want!r} "
+                      f"(cpu|tpu|status)")
         elif cmd == "attach":
             # attach <alias> <path.db|sqlite:...|:memory:> — a query-
             # executing backend (reference DataSource + get_server[])
@@ -139,6 +161,45 @@ class Repl:
                 print(r.format(limit=100))
         except Exception as e:
             self.session.log_error(str(e))
+
+    def _switch_backend(self, want: str) -> None:
+        """Retarget jax to another platform mid-session (reference
+        `engine <backend>` parity, prompt.py:560-583). Device arrays are
+        backend-bound, so: snapshot every catalog column to host, drop
+        the old backend + all jitted executables, re-upload on the new
+        one. Compiled-programs caches keyed by shape are cleared too —
+        they hold old-backend constants."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from aquery2_tpu.storage.table import Column, VectorColumn
+
+        host: list[tuple[object, str, np.ndarray]] = []
+        for tname in self.session.catalog.names():
+            t = self.session.catalog.get(tname)
+            for c in t.columns.values():
+                if isinstance(c, VectorColumn):
+                    host.append((c, "values", np.asarray(c.values)))
+                    host.append((c, "offsets", np.asarray(c.offsets)))
+                elif isinstance(c, Column):
+                    host.append((c, "data", np.asarray(c.data)))
+                    v = getattr(c, "valid", None)
+                    if v is not None:
+                        host.append((c, "valid", np.asarray(v)))
+
+        jax.config.update("jax_platforms", want)
+        import jax.extend.backend as _jb
+
+        _jb.clear_backends()
+        for mod_name in ("fused_groupby", "fused_ordered", "fused_scan",
+                         "fused_star", "fused_join", "dist_query"):
+            mod = __import__(f"aquery2_tpu.engine.{mod_name}",
+                             fromlist=["_cache"])
+            if hasattr(mod, "_cache"):
+                mod._cache.clear()
+        for obj, attr, arr in host:
+            setattr(obj, attr, jnp.asarray(arr))
 
     # -- sub-commands ------------------------------------------------------
 

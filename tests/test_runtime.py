@@ -2,6 +2,7 @@
 and conditional triggers (reference server.cpp:368-502, threading.cpp:
 158-270, tests/triggers.aquery, demo/)."""
 
+import os
 import time
 
 import pytest
@@ -167,3 +168,29 @@ def test_server_mode(tmp_path):
     finally:
         srv.shutdown()
         srv.session.close()
+
+
+def test_engine_backend_switch_subprocess():
+    """`engine <backend>` retargets jax and re-uploads catalog tables
+    (reference prompt.py:560-583 backend switching). Runs in a
+    subprocess: clear_backends() would poison this process's cached
+    devices/meshes."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os; os.environ['JAX_PLATFORMS']='cpu'\n"
+        "from aquery2_tpu.repl.prompt import Repl\n"
+        "r = Repl(echo_results=True)\n"
+        "r.handle_line('CREATE TABLE t(a INT, b INT)'); r.handle_line('r')\n"
+        "r.handle_line('INSERT INTO t VALUES (1,2),(1,3),(2,5)')\n"
+        "r.handle_line('r')\n"
+        "r._switch_backend('cpu')\n"          # full snapshot/re-upload path
+        "r.handle_line('SELECT a, sum(b) FROM t GROUP BY a')\n"
+        "r.handle_line('r')\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=240,
+                         env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "2 | 5" in out.stdout
