@@ -347,7 +347,18 @@ def sorted_group_reduce(starts, last, add_lanes, min_lanes, max_lanes,
     for t, col in (extract or {}).items():
         end_vals[t] = col
 
-    use_compaction_sort = gcap * 4 >= n and len(end_vals) >= 2
+    # Measured v5e @ 134M rows (2026-08, tunneled chip): one unstable
+    # int32-key sort costs ~4.3 ns/row + ~1.3 ns/row per payload lane;
+    # a random gather costs ~29 ns per OUTPUT element per lane (not the
+    # 9 ns earlier small-scale estimate — gathers get WORSE at HBM
+    # scale while sorts amortize). Pick the cheaper extraction:
+    #   gathers:          gcap · L · 29
+    #   compaction sort:  n · (4.3 + 1.3 · L)
+    # At L=7 lanes the crossover is gcap ≈ 0.066·n — h2o q3/q5 (12.6M
+    # groups of 100M rows) sat on the wrong side of the old gcap·4 ≥ n
+    # gate and paid ~2 s of gathers per query.
+    L = len(end_vals)
+    use_compaction_sort = L >= 2 and gcap * 29 * L >= n * (4.3 + 1.3 * L)
     if use_compaction_sort:
         idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
         # the sort key doubles as the end-row index (key = idx at end
