@@ -189,35 +189,6 @@ def try_run(session, sel: A.Select):
     if unresolvable:
         return None
 
-    # build the dense position table; require UNIQUE dim keys (FK shape).
-    # Cache key uses id(bkey.data) — each entry keeps a strong reference to
-    # the source array and verifies identity on hit, so a recycled id after
-    # the dim table is dropped/replaced can never return a stale table.
-    bcap = int(bkey.data.shape[0])
-    ckey = (id(bkey.data), bt.nrows, mn, domain)
-    entry = _lookup_cache.get(ckey)
-    if entry is not None and entry[0] is not bkey.data:
-        entry = None
-    if entry is None:
-        @jax.jit
-        def build_lookup(bk, nb):
-            ri = jnp.arange(bk.shape[0], dtype=jnp.int32)
-            code = jnp.where(ri < nb, (bk - mn).astype(jnp.int32), domain)
-            hist = jnp.zeros((domain + 1,), jnp.int32).at[code].add(1)
-            dup = jnp.sum((hist[:domain] > 1).astype(jnp.int32))
-            pos = jnp.full((domain + 1,), -1, jnp.int32).at[code].set(
-                ri, mode="drop")
-            return pos, dup
-
-        pos_tbl, dup = build_lookup(bkey.data, bt.nrows)
-        if len(_lookup_cache) >= 64:        # eviction bound
-            _lookup_cache.pop(next(iter(_lookup_cache)))
-        entry = (bkey.data, pos_tbl, int(dup))
-        _lookup_cache[ckey] = entry
-    _, pos_tbl, dup = entry
-    if dup:
-        return None               # non-unique dim keys: general join
-
     # materialize probe-aligned dim columns + the match flag
     pcap = int(pkey.data.shape[0])
     dim_cols_needed = [nm for nm in dim_refs
@@ -225,18 +196,112 @@ def try_run(session, sel: A.Select):
     # the dim KEY itself equals the probe key on matched rows
     darrs = [bt.columns[nm].data for nm in dim_cols_needed]
 
-    @jax.jit
-    def gather_dim(pk, np_, pos_tbl, *dcols):
-        pi = jnp.arange(pk.shape[0], dtype=jnp.int32)
-        inrange = (pi < np_) & (pk >= mn) & (pk <= mx)
-        code = jnp.clip((pk - mn).astype(jnp.int32), 0, domain)
-        midx = jnp.where(inrange, pos_tbl[code], -1)
-        match = midx >= 0
-        safe = jnp.clip(midx, 0, None)
-        return (match.astype(jnp.int32),
-                *[d[safe] for d in dcols])
+    # Probe-side cost is gathers over the FACT row count — the hot loop
+    # of the whole star query (at 1e8 fact rows the pos-table gather
+    # plus one dependent per-column gather measured 2.9 s of qjg's
+    # 3.0 s). When every needed dim column is narrow-integer, pack
+    # presence (bit 0) + all column values into ONE int32 VALUE table
+    # over the key domain, so the probe is a single gather and the
+    # decode is elementwise shifts (reference PerfectHashTable bit-
+    # packing, hasher.h:209-322, applied to join payload instead of
+    # group keys).
+    pack_fields = None
+    shift = 1
+    fields: list[tuple[int, int, int]] = []     # (shift, bits, colmin)
+    for nm in dim_cols_needed:
+        c = bt.columns[nm]
+        if c.data.dtype.kind not in "iub" or getattr(c, "valid", None) is not None:
+            fields = None
+            break
+        cmn, cmx = (int(x) for x in c.stats())
+        b = max(1, (cmx - cmn).bit_length())
+        fields.append((shift, b, cmn))
+        shift += b
+    if fields is not None and shift <= 31:
+        pack_fields = fields
 
-    got = gather_dim(pkey.data, pt.nrows, pos_tbl, *darrs)
+    # Build the domain-dense table; require UNIQUE dim keys (FK shape).
+    # Cache key uses ids — each entry keeps strong references to the
+    # source arrays and verifies identity on hit, so a recycled id after
+    # the dim table is dropped/replaced can never return a stale table.
+    bcap = int(bkey.data.shape[0])
+    srcs = (bkey.data, *darrs) if pack_fields is not None else (bkey.data,)
+    ckey = (tuple(id(a) for a in srcs), bt.nrows, mn, domain,
+            tuple(pack_fields) if pack_fields is not None else None)
+    entry = _lookup_cache.get(ckey)
+    if entry is not None and not (
+            len(entry[0]) == len(srcs)
+            and all(a is b for a, b in zip(entry[0], srcs))):
+        entry = None
+    if entry is None:
+        if pack_fields is not None:
+            @jax.jit
+            def build_packed(bk, nb, *dcols):
+                ri = jnp.arange(bk.shape[0], dtype=jnp.int32)
+                code = jnp.where(ri < nb, (bk - mn).astype(jnp.int32),
+                                 domain)
+                hist = jnp.zeros((domain + 1,), jnp.int32).at[code].add(1)
+                dup = jnp.sum((hist[:domain] > 1).astype(jnp.int32))
+                w = jnp.ones((bk.shape[0],), jnp.int32)       # presence
+                for (sh, _b, cmn), col in zip(pack_fields, dcols):
+                    w = w | ((col.astype(jnp.int32)
+                              - jnp.int32(cmn)) << sh)
+                tbl = (jnp.zeros((domain + 1,), jnp.int32)
+                       .at[code].set(w).at[domain].set(0))
+                return tbl, dup
+
+            tbl, dup = build_packed(bkey.data, bt.nrows, *darrs)
+        else:
+            @jax.jit
+            def build_lookup(bk, nb):
+                ri = jnp.arange(bk.shape[0], dtype=jnp.int32)
+                code = jnp.where(ri < nb, (bk - mn).astype(jnp.int32),
+                                 domain)
+                hist = jnp.zeros((domain + 1,), jnp.int32).at[code].add(1)
+                dup = jnp.sum((hist[:domain] > 1).astype(jnp.int32))
+                pos = jnp.full((domain + 1,), -1, jnp.int32).at[code].set(
+                    ri, mode="drop").at[domain].set(-1)
+                return pos, dup
+
+            tbl, dup = build_lookup(bkey.data, bt.nrows)
+        if len(_lookup_cache) >= 64:        # eviction bound
+            _lookup_cache.pop(next(iter(_lookup_cache)))
+        entry = (srcs, tbl, int(dup))
+        _lookup_cache[ckey] = entry
+    _, tbl, dup = entry
+    if dup:
+        return None               # non-unique dim keys: general join
+
+    if pack_fields is not None:
+        col_dtypes = [bt.columns[nm].data.dtype for nm in dim_cols_needed]
+
+        @jax.jit
+        def gather_packed(pk, np_, tbl):
+            pi = jnp.arange(pk.shape[0], dtype=jnp.int32)
+            inrange = (pi < np_) & (pk >= mn) & (pk <= mx)
+            code = jnp.clip((pk - mn).astype(jnp.int32), 0, domain)
+            packed = jnp.where(inrange, tbl[code], 0)   # ONE gather
+            match = (packed & 1) == 1
+            outs = []
+            for (sh, b, cmn), dt in zip(pack_fields, col_dtypes):
+                v = ((packed >> sh) & ((1 << b) - 1)) + jnp.int32(cmn)
+                outs.append(v.astype(dt))
+            return (match.astype(jnp.int32), *outs)
+
+        got = gather_packed(pkey.data, pt.nrows, tbl)
+    else:
+        @jax.jit
+        def gather_dim(pk, np_, pos_tbl, *dcols):
+            pi = jnp.arange(pk.shape[0], dtype=jnp.int32)
+            inrange = (pi < np_) & (pk >= mn) & (pk <= mx)
+            code = jnp.clip((pk - mn).astype(jnp.int32), 0, domain)
+            midx = jnp.where(inrange, pos_tbl[code], -1)
+            match = midx >= 0
+            safe = jnp.clip(midx, 0, None)
+            return (match.astype(jnp.int32),
+                    *[d[safe] for d in dcols])
+
+        got = gather_dim(pkey.data, pt.nrows, tbl, *darrs)
     match, gathered = got[0], got[1:]
 
     # synthetic single table: probe columns (zero-copy) + gathered dim cols
