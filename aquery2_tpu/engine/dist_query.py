@@ -61,7 +61,8 @@ def _combine_psum(outs: dict, axis: str) -> dict:
 
 
 def run(session, sel: A.Select, table: Table) -> Table | None:
-    """Distributed fused group-by; None → caller falls back."""
+    """Distributed fused group-by; None → caller falls back (the bail
+    reason is reported via session.note_dist_bail for `stats`)."""
     mesh = getattr(session, "mesh", None)
     if mesh is None:
         return None
@@ -72,21 +73,26 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
 
     try:
         p = fg.plan(sel, table)
-    except fg.Unsupported:
+    except fg.Unsupported as e:
+        session.note_dist_bail(f"unsupported shape: {e}")
         return None
     if p["has_median"]:
-        return None               # median does not decompose into partials
+        session.note_dist_bail("median does not decompose into partials")
+        return None               # dist_ordered shuffle tier lands next
 
     cols = table.columns
     n = table.nrows
     if n == 0:
+        session.note_dist_bail("empty table")
         return None
     col_order = fg.referenced_columns(sel, p)
     if table.has_nulls(col_order):
+        session.note_dist_bail("NULL columns in distributed tier")
         return None
 
     chosen = fg.choose_strategy(p, cols)
     if chosen is None:
+        session.note_dist_bail("median without packable key layout")
         return None
     strategy, key_mins, key_ranges, domain = chosen
     scatters = fg._needed_scatters(p["aggs"])
@@ -96,8 +102,10 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
     arrays = [_shard(mesh, axis, cols[nm].data) for nm in col_order]
     cap = int(arrays[0].shape[0])
     if cap % ndev:
+        session.note_dist_bail("capacity not divisible by mesh size")
         return None
     blk = cap // ndev
+    session.note_spmd()
 
     fingerprint = (
         "dist", strategy, ndev,

@@ -224,6 +224,27 @@ class Executor:
     # ------------------------------------------------------------------ #
 
     def run_select(self, sel: A.Select) -> Table:
+        """SELECT entry point; on a mesh session, accounts whether the
+        query ran as one SPMD program or fell back to single-chip logic
+        over sharded arrays (VERDICT r2: fallbacks must be observable)."""
+        session = self.session
+        if session.mesh is None:
+            return self._run_select(sel)
+        prev = (session._dist_hit, session._dist_reason)   # re-entrant:
+        session._dist_hit = False                          # nested SELECTs
+        session._dist_reason = None                        # count separately
+        try:
+            t = self._run_select(sel)
+        finally:
+            if session._dist_hit:
+                session.stats.dist_spmd += 1
+            else:
+                session._record_mesh_fallback(
+                    session._dist_reason or "query class not distributed")
+            session._dist_hit, session._dist_reason = prev
+        return t
+
+    def _run_select(self, sel: A.Select) -> Table:
         # fused fast path: grouped aggregation over a single table traces
         # into one XLA program (engine/fused_groupby.py); distributed
         # sessions run the SPMD variant over the mesh (engine/dist_query.py)

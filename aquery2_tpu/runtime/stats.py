@@ -20,6 +20,14 @@ class QueryStats:
     exec_time: float = 0.0
     queries: int = 0
     history: list = field(default_factory=list)
+    # mesh-session execution-path accounting (VERDICT r2: silent
+    # distributed fallbacks must be observable): SPMD = the query ran as
+    # one distributed program over the mesh; fallback = a mesh session
+    # ran single-chip logic over sharded arrays (GSPMD inserts implicit
+    # collectives — correct, but unmeasured placement)
+    dist_spmd: int = 0
+    dist_fallback: int = 0
+    dist_fallback_reasons: dict = field(default_factory=dict)
 
     @contextmanager
     def timed(self, phase: str):
@@ -43,6 +51,8 @@ class QueryStats:
         self.parse_time = self.exec_time = 0.0
         self.queries = 0
         self.history.clear()
+        self.dist_spmd = self.dist_fallback = 0
+        self.dist_fallback_reasons.clear()
 
     def format(self) -> str:
         lines = [
@@ -50,6 +60,11 @@ class QueryStats:
             f"Parse time:       {self.parse_time * 1000:.3f} ms",
             f"Execution time:   {self.exec_time * 1000:.3f} ms",
         ]
+        if self.dist_spmd or self.dist_fallback:
+            lines.append(f"Distributed SPMD: {self.dist_spmd} queries")
+            lines.append(f"Mesh fallbacks:   {self.dist_fallback} queries")
+            for reason, cnt in sorted(self.dist_fallback_reasons.items()):
+                lines.append(f"  {cnt:6d}  {reason}")
         if self.history:
             lines.append("Recent:")
             for text, dt in self.history[-10:]:

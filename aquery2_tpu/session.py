@@ -62,6 +62,33 @@ class Session:
         # attached query-executing SQL backends by alias (reference
         # DataSource vtable + get_server[] slots, server.cpp:12-18)
         self.sources: dict[str, object] = {}
+        # per-SELECT distributed-path tracking (engine/executor.py sets
+        # these around run_select; dist tiers report through them)
+        self._dist_hit = False
+        self._dist_reason: str | None = None
+        self._warned_fallbacks: set[str] = set()
+
+    # -- distributed-path accounting ----------------------------------------
+
+    def note_spmd(self) -> None:
+        """A distributed tier ran the current SELECT as one SPMD program."""
+        self._dist_hit = True
+
+    def note_dist_bail(self, reason: str) -> None:
+        """A distributed tier declined the current SELECT (recorded by
+        the executor as a fallback unless another tier takes it)."""
+        if self._dist_reason is None:
+            self._dist_reason = reason
+
+    def _record_mesh_fallback(self, reason: str) -> None:
+        self.stats.dist_fallback += 1
+        self.stats.dist_fallback_reasons[reason] = \
+            self.stats.dist_fallback_reasons.get(reason, 0) + 1
+        if reason not in self._warned_fallbacks:
+            self._warned_fallbacks.add(reason)
+            self.log(f"mesh session: query fell back to the single-chip "
+                     f"path ({reason}); GSPMD handles the sharded arrays "
+                     f"implicitly. Further occurrences counted in `stats`.")
 
     # -- distributed placement ----------------------------------------------
 

@@ -125,6 +125,20 @@ def test_dist_oracle_sum(pair, rng8):
     assert got == want
 
 
+def test_dist_path_accounting(pair):
+    """VERDICT r2: mesh-session fallbacks are counted, never silent."""
+    _, s8 = pair
+    spmd0 = s8.stats.dist_spmd
+    fb0 = s8.stats.dist_fallback
+    s8.execute("SELECT id1, sum(v1) FROM g GROUP BY id1")          # SPMD
+    assert s8.stats.dist_spmd == spmd0 + 1
+    assert s8.stats.dist_fallback == fb0
+    s8.execute("SELECT count(*) FROM g WHERE v1 > 2")   # ungrouped: falls back
+    assert s8.stats.dist_fallback == fb0 + 1
+    assert s8.stats.dist_fallback_reasons
+    assert "fallback" in s8.stats.format().lower()
+
+
 def test_dist_insert_keeps_sharding(pair):
     _, s8 = pair
     s8.execute("CREATE TABLE t2(a INT, b INT)")
