@@ -86,9 +86,11 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
         session.note_dist_bail("empty table")
         return None
     col_order = fg.referenced_columns(sel, p)
-    if table.has_nulls(col_order):
-        session.note_dist_bail("NULL columns in distributed tier")
+    nullable, bail = fg.nullable_gate(p, cols, col_order)
+    if bail:
+        session.note_dist_bail(bail)
         return None
+    null_order = sorted(nullable)
 
     chosen = fg.choose_strategy(p, cols)
     if chosen is None:
@@ -99,7 +101,8 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
     key_names = [k.name.lower() for k in p["keys"]
                  if isinstance(k, A.ColumnRef)]
 
-    arrays = [_shard(mesh, axis, cols[nm].data) for nm in col_order]
+    arrays = ([_shard(mesh, axis, cols[nm].data) for nm in col_order]
+              + [_shard(mesh, axis, cols[nm].valid) for nm in null_order])
     cap = int(arrays[0].shape[0])
     if cap % ndev:
         session.note_dist_bail("capacity not divisible by mesh size")
@@ -111,29 +114,146 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
         "dist", strategy, ndev,
         repr(sel.group_by), repr([pr[1] for pr in p["projections"]]),
         repr(p["where"]), repr(p["having"]),
-        tuple(key_mins), tuple(key_ranges),
+        tuple(key_mins), tuple(key_ranges), tuple(null_order),
         tuple((a.shape[0], str(a.dtype)) for a in arrays),
     )
 
     if strategy == "dense":
         return _run_dense(session, table, p, col_order, arrays, fingerprint,
                           n, key_names, key_mins, key_ranges, scatters,
-                          domain, mesh, axis, blk)
+                          domain, mesh, axis, blk, null_order)
     if strategy == "packed":
         plan_w = fg._plan_words(key_ranges)
         if plan_w is None:
             return _run_sortmerge(session, table, p, col_order, arrays,
                                   fingerprint, n, scatters, mesh, axis, blk,
-                                  packed=None)
+                                  packed=None, null_order=null_order)
         return _run_sortmerge(session, table, p, col_order, arrays,
                               fingerprint, n, scatters, mesh, axis, blk,
-                              packed=(plan_w, key_mins, key_ranges, key_names))
+                              packed=(plan_w, key_mins, key_ranges, key_names),
+                              null_order=null_order)
     return _run_sortmerge(session, table, p, col_order, arrays, fingerprint,
-                          n, scatters, mesh, axis, blk, packed=None)
+                          n, scatters, mesh, axis, blk, packed=None,
+                          null_order=null_order)
 
 
 def _shard(mesh: Mesh, axis: str, x: jax.Array) -> jax.Array:
     return jax.device_put(x, NamedSharding(mesh, P(axis)))
+
+
+# --------------------------------------------------------------------- #
+# ungrouped tier: whole-table aggregates as local partials + ONE psum
+# --------------------------------------------------------------------- #
+
+def run_ungrouped(session, sel: A.Select, table: Table) -> Table | None:
+    """Distributed ungrouped aggregation: SELECT agg(expr)... FROM t
+    [WHERE rowpred] over a mesh session — the degenerate dense tier with
+    a single group slot (communication: O(#lanes) scalars over ICI).
+    Every aggregate the grouped tiers decompose decomposes here too;
+    median does not and falls back. None → caller falls back."""
+    mesh = getattr(session, "mesh", None)
+    if mesh is None:
+        return None
+    axis = session.mesh_axis
+    ndev = mesh.shape[axis]
+    if ndev <= 1:
+        return None
+    if (sel.group_by or sel.assumptions or sel.distinct or sel.unions
+            or sel.having or sel.order_by):
+        return None
+    if len(sel.sources) != 1 or not isinstance(sel.sources[0], A.TableSource):
+        return None
+
+    cols = table.columns
+    n = table.nrows
+    if n == 0:
+        session.note_dist_bail("empty table")
+        return None
+
+    try:
+        aggs: list[A.Call] = []
+        projections = []
+        for pr in sel.projections:
+            e = pr.expr
+            if isinstance(e, A.Star):
+                raise fg.Unsupported("star")
+            before = len(aggs)
+            fg._collect_aggs(e, cols, aggs)
+            if len(aggs) == before:
+                raise fg.Unsupported("row projection in ungrouped agg")
+            projections.append(("agg", e, pr.alias))
+        if not projections:
+            raise fg.Unsupported("no projections")
+        if any(a.func == "median" for a in aggs):
+            raise fg.Unsupported("median does not decompose into partials")
+        if sel.where is not None:
+            fg._check_row_expr(sel.where, cols)
+    except fg.Unsupported as e:
+        session.note_dist_bail(f"unsupported shape: {e}")
+        return None
+
+    p = {"keys": [], "projections": projections, "aggs": aggs,
+         "where": sel.where, "limit": sel.limit, "having": None,
+         "order_by": [], "expr_keys": False, "has_median": False,
+         "into_table": sel.into_table, "into_outfile": sel.into_outfile,
+         "outfile_sep": sel.outfile_sep}
+    col_order = fg.referenced_columns(sel, p)
+    nullable, bail = fg.nullable_gate(p, cols, col_order)
+    if bail:
+        session.note_dist_bail(bail)
+        return None
+    null_order = sorted(nullable)
+    scatters = fg._needed_scatters(aggs)
+
+    arrays = ([_shard(mesh, axis, cols[nm].data) for nm in col_order]
+              + [_shard(mesh, axis, cols[nm].valid) for nm in null_order])
+    cap = int(arrays[0].shape[0])
+    if cap % ndev:
+        session.note_dist_bail("capacity not divisible by mesh size")
+        return None
+    blk = cap // ndev
+    session.note_spmd()
+
+    fingerprint = ("dist-ungrouped", ndev,
+                   repr([pr[1] for pr in projections]), repr(sel.where),
+                   tuple(null_order),
+                   tuple((a.shape[0], str(a.dtype)) for a in arrays))
+    entry = _cache.get(fingerprint)
+    if entry is None:
+        nspec = len(arrays)
+
+        def fused(nn, *arrs):
+            @partial(shard_map, mesh=mesh,
+                     in_specs=(P(), *([P(axis)] * nspec)), out_specs=P())
+            def local(nn_, *blocks):
+                d = jax.lax.axis_index(axis).astype(jnp.int32)
+                idx = d * blk + jnp.arange(blk, dtype=jnp.int32)
+                env = dict(zip(col_order, blocks))
+                env_null = {nm: ~v for nm, v in
+                            zip(null_order, blocks[len(col_order):])}
+                null_fn = fg.make_null_fn(env_null) if env_null else None
+                valid = idx < nn_
+                if p["where"] is not None:
+                    w = fg._row_eval(p["where"], env)
+                    if w.dtype != jnp.bool_:
+                        w = w != 0
+                    valid = valid & w
+                code = jnp.where(valid, 0, 1).astype(jnp.int32)
+                outs = fg._scatter_aggs(env, valid, code, 1, scatters,
+                                        null_fn=null_fn)
+                return _combine_psum(outs, axis)
+
+            outs = local(nn, *arrs)
+            counts = outs["__counts__"][:1]
+            dense = {t: a[:1] for t, a in outs.items()}
+            return [fg._post_agg_eval(expr, dense, counts, None)
+                    for _, expr, _ in projections]
+
+        entry = jax.jit(fused)
+        _cache[fingerprint] = entry
+
+    results = entry(n, *arrays)
+    return fg._finish(session, p, cols, results, 1)
 
 
 # --------------------------------------------------------------------- #
@@ -142,7 +262,7 @@ def _shard(mesh: Mesh, axis: str, x: jax.Array) -> jax.Array:
 
 def _run_dense(session, table, p, col_order, arrays, fingerprint, n,
                key_names, key_mins, key_ranges, scatters, domain,
-               mesh, axis, blk):
+               mesh, axis, blk, null_order=()):
     cols = table.columns
     strides = []
     s = 1
@@ -165,6 +285,9 @@ def _run_dense(session, table, p, col_order, arrays, fingerprint, n,
                 d = jax.lax.axis_index(axis).astype(jnp.int32)
                 idx = d * blk + jnp.arange(blk, dtype=jnp.int32)
                 env = dict(zip(col_order, blocks))
+                env_null = {nm: ~v for nm, v in
+                            zip(null_order, blocks[len(col_order):])}
+                null_fn = fg.make_null_fn(env_null) if env_null else None
                 valid = idx < nn_
                 if p["where"] is not None:
                     w = fg._row_eval(p["where"], env)
@@ -177,7 +300,8 @@ def _run_dense(session, table, p, col_order, arrays, fingerprint, n,
                         * jnp.int32(st)
                     code = part if code is None else code + part
                 code = jnp.where(valid, code, dom).astype(jnp.int32)
-                outs = fg._scatter_aggs(env, valid, code, dom, scatters)
+                outs = fg._scatter_aggs(env, valid, code, dom, scatters,
+                                        null_fn=null_fn)
                 return _combine_psum(outs, axis)
 
             outs = local(nn, *arrs)
@@ -221,7 +345,7 @@ def _run_dense(session, table, p, col_order, arrays, fingerprint, n,
 # --------------------------------------------------------------------- #
 
 def _run_sortmerge(session, table, p, col_order, arrays, fingerprint, n,
-                   scatters, mesh, axis, blk, packed):
+                   scatters, mesh, axis, blk, packed, null_order=()):
     """packed = ((fields, nwords), key_mins, key_ranges, key_names) for
     the bit-packed tier, or None for raw multikey sort."""
     cols = table.columns
@@ -261,6 +385,9 @@ def _run_sortmerge(session, table, p, col_order, arrays, fingerprint, n,
                 d = jax.lax.axis_index(axis).astype(jnp.int32)
                 idx = d * blk + jnp.arange(blk, dtype=jnp.int32)
                 env = dict(zip(col_order, blocks))
+                env_null = {nm: ~v for nm, v in
+                            zip(null_order, blocks[len(col_order):])}
+                null_fn = fg.make_null_fn(env_null) if env_null else None
                 valid = idx < nn_
                 if p["where"] is not None:
                     w = fg._row_eval(p["where"], env)
@@ -279,7 +406,8 @@ def _run_sortmerge(session, table, p, col_order, arrays, fingerprint, n,
                 else:
                     kops = [fg._row_eval(ke, env) for ke in keys]
 
-                lanes = fg._build_lanes(env, valid, scatters)
+                lanes = fg._build_lanes(env, valid, scatters,
+                                        null_fn=null_fn)
                 lanes[0].pop("__counts__")
                 payload, tag_groups = fg._lane_payload(lanes)
                 invalid = ~valid

@@ -272,6 +272,21 @@ class Executor:
             if t is not None:
                 return t
 
+        if (not sel.assumptions
+                and (len(sel.sources) == 2
+                     or (len(sel.sources) == 1
+                         and isinstance(sel.sources[0], A.JoinSource)))):
+            # star/FK join + aggregation (comma, NATURAL, ON, USING
+            # forms): dense-lookup the dim side, then the single-table
+            # fused group-by — or its SPMD variant on a mesh session
+            # (engine/fused_star.py); tried before the count-join so a
+            # mesh session keeps join+group-by as ONE distributed program
+            from aquery2_tpu.engine import fused_star
+
+            t = fused_star.try_run(self.session, sel)
+            if t is not None:
+                return t
+
         if len(sel.sources) == 2 and not sel.group_by:
             from aquery2_tpu.engine import fused_join
 
@@ -279,20 +294,18 @@ class Executor:
             if t is not None:
                 return t
 
-        if (sel.group_by and not sel.assumptions
-                and (len(sel.sources) == 2
-                     or (len(sel.sources) == 1
-                         and isinstance(sel.sources[0], A.JoinSource)))):
-            # star/FK join + group-by (comma, NATURAL, ON, USING forms):
-            # dense-lookup the dim side, then the single-table fused
-            # group-by (engine/fused_star.py)
-            from aquery2_tpu.engine import fused_star
-
-            t = fused_star.try_run(self.session, sel)
-            if t is not None:
-                return t
-
         if not sel.group_by and not sel.assumptions:
+            if (self.session.mesh is not None and len(sel.sources) == 1
+                    and isinstance(sel.sources[0], A.TableSource)
+                    and sel.sources[0].name in self.session.catalog):
+                # whole-table aggregates over the mesh: ONE psum
+                from aquery2_tpu.engine import dist_query
+
+                t = dist_query.run_ungrouped(
+                    self.session, sel,
+                    self.session.catalog.get(sel.sources[0].name))
+                if t is not None:
+                    return t
             # ungrouped scan-filter-project-order-limit: ONE jitted
             # program, ONE host sync (engine/fused_scan.py)
             from aquery2_tpu.engine import fused_scan

@@ -312,8 +312,13 @@ def _make_stage1(key_names, key_mins, key_ranges, scatters, where,
     code_dtype = jnp.int32 if domain < 2**31 - 1 else jnp.int64
 
     def stage1(n, *arrays_and_names):
-        # arrays passed in fixed order with names closed over
-        env = dict(zip(stage1.col_order, arrays_and_names))
+        # arrays passed in fixed order with names closed over; trailing
+        # arrays are validity masks of the nullable agg-arg columns
+        ncols = len(stage1.col_order)
+        env = dict(zip(stage1.col_order, arrays_and_names[:ncols]))
+        env_null = {nm: ~v for nm, v in zip(stage1.null_order,
+                                            arrays_and_names[ncols:])}
+        null_fn = make_null_fn(env_null) if env_null else None
         cap = arrays_and_names[0].shape[0]
         idx = jnp.arange(cap, dtype=jnp.int32)
         valid = idx < n
@@ -328,7 +333,8 @@ def _make_stage1(key_names, key_mins, key_ranges, scatters, where,
             code = part if code is None else code + part
         code = jnp.where(valid, code, domain).astype(jnp.int32)
 
-        outs = _scatter_aggs(env, valid, code, domain, scatters)
+        outs = _scatter_aggs(env, valid, code, domain, scatters,
+                             null_fn=null_fn)
         present = outs["__counts__"][:domain] > 0
         num_groups = jnp.sum(present, dtype=jnp.int32)
         return outs, num_groups
@@ -336,13 +342,20 @@ def _make_stage1(key_names, key_mins, key_ranges, scatters, where,
     return stage1, domain, strides
 
 
-def _build_lanes(env, valid, scatters, eval_fn=None):
+def _build_lanes(env, valid, scatters, eval_fn=None, null_fn=None):
     """Evaluate every row expression into per-row reduction lanes.
 
     Returns (add_lanes int64, min_lanes, max_lanes, f64_lanes), each a
     tag → [n] array dict, masked so invalid rows are identities. Lane
     arrays stay 1-D throughout — never stacked into [n, K] (a minor dim
-    of K gets tile-padded to 128 on TPU: 64× HBM blowup at 16M rows)."""
+    of K gets tile-padded to 128 on TPU: 64× HBM blowup at 16M rows).
+
+    null_fn: optional callable(arg exprs) → per-row NULL mask (True =
+    some referenced column is NULL) or None. SQL aggregates skip NULL
+    inputs: each lane masks with validity AND non-null, and any agg
+    whose rows can be null gets an extra ``:cnt`` lane (its non-null
+    count) consumed by avg/var/corr/count(col) in _post_agg_eval.
+    Reference: MonetDB nil semantics, common/types.py:359-364."""
 
     def rows(e):
         return eval_fn(e) if eval_fn is not None else _row_eval(e, env)
@@ -366,7 +379,7 @@ def _build_lanes(env, valid, scatters, eval_fn=None):
             add[tag + "#B"] = b
         else:
             # f64 columns: slow f64 scatter (rare; exactness over speed)
-            f64s[tag] = jnp.where(vmask, vv, 0.0).astype(jnp.float64)
+            f64s[tag] = vv.astype(jnp.float64)
 
     def widen_sq(v):
         """Square that cannot overflow: int32 inputs widen to int64."""
@@ -375,21 +388,27 @@ def _build_lanes(env, valid, scatters, eval_fn=None):
         return v
 
     for fp, (kind, args) in scatters.items():
-        if kind in ("count", "median"):
-            continue            # counts ride validity; median rides the sort
+        if kind == "median":
+            continue            # median rides the sort as a secondary key
+        nmask = null_fn(args) if null_fn is not None else None
+        vm = vmask if nmask is None else (vmask & ~nmask)
+        if nmask is not None:
+            add[fp + ":cnt"] = vm     # per-agg non-null count
+        if kind == "count":
+            continue            # count(*) rides validity; count(col) :cnt
         if kind == "corr":
             x = rows(args[0])
             y = rows(args[1])
             if x.dtype.kind in "ib" and y.dtype.kind in "ib":
-                xi = jnp.where(vmask, x, jnp.zeros((), x.dtype))
-                yi = jnp.where(vmask, y, jnp.zeros((), y.dtype))
+                xi = jnp.where(vm, x, jnp.zeros((), x.dtype))
+                yi = jnp.where(vm, y, jnp.zeros((), y.dtype))
                 xw, yw = widen_sq(xi), widen_sq(yi)
                 for tag, arr in (("sx", xi), ("sy", yi), ("sxy", xw * yw),
                                  ("sx2", xw * xw), ("sy2", yw * yw)):
                     add[fp + ":" + tag] = arr
             else:
-                xf = jnp.where(vmask, x, 0).astype(jnp.float32)
-                yf = jnp.where(vmask, y, 0).astype(jnp.float32)
+                xf = jnp.where(vm, x, 0).astype(jnp.float32)
+                yf = jnp.where(vm, y, 0).astype(jnp.float32)
                 for tag, arr in (("sx", xf), ("sy", yf), ("sxy", xf * yf),
                                  ("sx2", xf * xf), ("sy2", yf * yf)):
                     add_float(fp + ":" + tag, arr)
@@ -397,32 +416,32 @@ def _build_lanes(env, valid, scatters, eval_fn=None):
         v = rows(args[0])
         if kind in ("sum", "avg", "mean"):
             if v.dtype.kind == "f":
-                vv = jnp.where(vmask, v, jnp.zeros((), v.dtype))
+                vv = jnp.where(vm, v, jnp.zeros((), v.dtype))
                 add_float(fp + ":sum",
                           vv.astype(jnp.float32) if v.dtype == jnp.float32 else vv)
             else:
-                add[fp + ":sum"] = jnp.where(vmask, v, jnp.zeros((), v.dtype))
+                add[fp + ":sum"] = jnp.where(vm, v, jnp.zeros((), v.dtype))
         if kind in ("var", "stddev"):
             if v.dtype.kind in "ib":
-                vv = jnp.where(vmask, v, jnp.zeros((), v.dtype))
+                vv = jnp.where(vm, v, jnp.zeros((), v.dtype))
                 add[fp + ":sum"] = vv
                 vw = widen_sq(vv)
                 add[fp + ":ssq"] = vw * vw
             else:
-                vv = jnp.where(vmask, v, jnp.zeros((), v.dtype)).astype(jnp.float32)
+                vv = jnp.where(vm, v, jnp.zeros((), v.dtype)).astype(jnp.float32)
                 add_float(fp + ":sum", vv)
                 add_float(fp + ":ssq", vv * vv)
         if kind == "min":
             big = _sentinel_max(v.dtype)
-            mins[fp + ":min"] = jnp.where(vmask, v, jnp.asarray(big, v.dtype))
+            mins[fp + ":min"] = jnp.where(vm, v, jnp.asarray(big, v.dtype))
         if kind == "max":
             small = _sentinel_min(v.dtype)
-            maxs[fp + ":max"] = jnp.where(vmask, v, jnp.asarray(small, v.dtype))
+            maxs[fp + ":max"] = jnp.where(vm, v, jnp.asarray(small, v.dtype))
     return add, mins, maxs, f64s
 
 
 def _scatter_aggs(env, valid, code, domain, scatters,
-                  eval_fn=None, lanes=None) -> dict[str, jax.Array]:
+                  eval_fn=None, lanes=None, null_fn=None) -> dict[str, jax.Array]:
     """Reduce every needed aggregate into (domain+1,) dense accumulators
     via ops.reduce.segment_reduce (one-hot MXU matmul for small domains,
     per-lane 1-D scatters otherwise).
@@ -433,7 +452,8 @@ def _scatter_aggs(env, valid, code, domain, scatters,
     from aquery2_tpu.ops import reduce as R
 
     if lanes is None:
-        lanes = _build_lanes(env, valid, scatters, eval_fn=eval_fn)
+        lanes = _build_lanes(env, valid, scatters, eval_fn=eval_fn,
+                             null_fn=null_fn)
     add, mins, maxs, f64s = lanes
     outs = R.segment_reduce(code, add, mins, maxs, f64s, domain)
     outs["__counts__"] = outs["__counts__"].astype(jnp.int32)
@@ -447,13 +467,15 @@ def _post_agg_eval(e: A.Expr, dense: dict[str, jax.Array], counts, keyvals):
     if isinstance(e, A.Call):
         fp = _agg_fingerprint(e)
         kind = e.func
+        # per-agg non-null count (present iff the agg's args are nullable)
+        acnt = dense.get(fp + ":cnt", counts)
         if kind == "count":
-            return counts.astype(jnp.int64)
+            return acnt.astype(jnp.int64)
         if kind in ("sum",):
             return _gathered_sum(dense, fp + ":sum")
         if kind in ("avg", "mean"):
             s = _gathered_sum(dense, fp + ":sum")
-            return s.astype(jnp.float64) / jnp.maximum(counts, 1)
+            return s.astype(jnp.float64) / jnp.maximum(acnt, 1)
         if kind == "min":
             return dense[fp + ":min"]
         if kind == "max":
@@ -463,7 +485,7 @@ def _post_agg_eval(e: A.Expr, dense: dict[str, jax.Array], counts, keyvals):
         if kind in ("var", "stddev"):
             s = _gathered_sum(dense, fp + ":sum").astype(jnp.float64)
             ssq = _gathered_sum(dense, fp + ":ssq").astype(jnp.float64)
-            nn = counts.astype(jnp.float64)
+            nn = acnt.astype(jnp.float64)
             denom = nn + (1.0 if config.strict_reference_semantics else 0.0)
             v = (ssq - s * s / jnp.maximum(denom, 1.0)) / jnp.maximum(denom, 1.0)
             return jnp.sqrt(jnp.maximum(v, 0.0)) if kind == "stddev" else v
@@ -473,7 +495,7 @@ def _post_agg_eval(e: A.Expr, dense: dict[str, jax.Array], counts, keyvals):
             sxy = _gathered_sum(dense, fp + ":sxy").astype(jnp.float64)
             sx2 = _gathered_sum(dense, fp + ":sx2").astype(jnp.float64)
             sy2 = _gathered_sum(dense, fp + ":sy2").astype(jnp.float64)
-            nn = counts.astype(jnp.float64)
+            nn = acnt.astype(jnp.float64)
             num = nn * sxy - sx * sy
             den = jnp.sqrt((nn * sx2 - sx * sx) * (nn * sy2 - sy * sy))
             return num / den
@@ -577,6 +599,91 @@ def referenced_columns(sel: A.Select, p) -> list[str]:
     return sorted(referenced)
 
 
+def _refs(e: A.Expr) -> set[str]:
+    """Lower-cased column names referenced by an expression."""
+    out: set[str] = set()
+
+    def walk(x):
+        if isinstance(x, A.ColumnRef):
+            out.add(x.name.lower())
+        elif isinstance(x, A.BinOp):
+            walk(x.left)
+            walk(x.right)
+        elif isinstance(x, A.UnaryOp):
+            walk(x.operand)
+        elif isinstance(x, A.Call):
+            for a in x.args:
+                if not isinstance(a, A.Star):
+                    walk(a)
+
+    walk(e)
+    return out
+
+
+def _contains_logical(e: A.Expr) -> bool:
+    if isinstance(e, A.BinOp):
+        return (e.op in ("and", "or") or _contains_logical(e.left)
+                or _contains_logical(e.right))
+    if isinstance(e, A.UnaryOp):
+        return e.op == "not" or _contains_logical(e.operand)
+    if isinstance(e, A.Call):
+        return any(_contains_logical(a) for a in e.args
+                   if not isinstance(a, A.Star))
+    return False
+
+
+def nullable_gate(p, cols, col_order):
+    """(nullable column names, bail reason | None) for the fused tiers.
+
+    Handled in-program: nullable AGGREGATE-ARGUMENT columns — each agg
+    lane masks its own rows (SQL skips NULL inputs; _build_lanes
+    null_fn) with a per-agg non-null count for avg/var/corr/count(col).
+    Must bail to the general executor: nullable group keys (the one-
+    NULL-group needs sentinel key coding + output masks), nullable
+    WHERE columns (Kleene 3-valued logic, engine/eval.py), nullable
+    median args (the sorted middle must skip nulls), and and/or inside
+    an agg arg over nullable columns (Kleene again)."""
+    nullable = {nm for nm in col_order
+                if nm in cols and getattr(cols[nm], "valid", None) is not None}
+    if not nullable:
+        return nullable, None
+    for k in p["keys"]:
+        if _refs(k) & nullable:
+            return nullable, "nullable group key"
+    if p["where"] is not None and _refs(p["where"]) & nullable:
+        return nullable, "nullable WHERE column"
+    for _fp, (kind, args) in _needed_scatters(p["aggs"]).items():
+        argrefs = set()
+        for a in args:
+            if isinstance(a, A.Star):
+                continue
+            argrefs |= _refs(a)
+        if not (argrefs & nullable):
+            continue
+        if kind == "median":
+            return nullable, "nullable median argument"
+        if any(_contains_logical(a) for a in args
+               if not isinstance(a, A.Star)):
+            return nullable, "Kleene logic inside nullable agg argument"
+    return nullable, None
+
+
+def make_null_fn(env_null):
+    """null_fn for _build_lanes: arg exprs → OR of referenced columns'
+    NULL masks (arithmetic/comparison over NULL is NULL), or None."""
+    def nf(args):
+        m = None
+        for a in args:
+            if isinstance(a, A.Star):
+                continue
+            for nm in _refs(a):
+                mask = env_null.get(nm)
+                if mask is not None:
+                    m = mask if m is None else (m | mask)
+        return m
+    return nf
+
+
 def run(session, sel: A.Select, table: Table) -> Table | None:
     """Try the fused path; returns the result Table or None."""
     try:
@@ -600,25 +707,31 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
     key_names = [k.name.lower() for k in p["keys"]
                  if isinstance(k, A.ColumnRef)]
 
-    # only the columns the query actually references
+    # only the columns the query actually references; nullable agg-arg
+    # columns ride in-program (validity masks as extra lane inputs),
+    # nullable keys/WHERE bail to the 3-valued general executor
     col_order = referenced_columns(sel, p)
-    if table.has_nulls(col_order):
-        return None          # nullable columns: null-aware general path
-    arrays = [cols[name].data for name in col_order]
+    nullable, bail = nullable_gate(p, cols, col_order)
+    if bail:
+        return None
+    null_order = sorted(nullable)
+    arrays = ([cols[name].data for name in col_order]
+              + [cols[nm].valid for nm in null_order])
 
     fingerprint = (
         strategy,
         repr(sel.group_by), repr([pr[1] for pr in p["projections"]]),
         repr(p["where"]), repr(p["having"]),
-        tuple(key_mins), tuple(key_ranges),
+        tuple(key_mins), tuple(key_ranges), tuple(null_order),
         tuple((a.shape[0], str(a.dtype)) for a in arrays),
     )
     if strategy == "multikey":
         return _run_sort(session, sel, table, p, col_order, arrays,
-                         fingerprint, n)
+                         fingerprint, n, null_order)
     if strategy == "packed":
         return _run_sort_packed(session, sel, table, p, col_order, arrays,
-                                fingerprint, n, key_mins, key_ranges)
+                                fingerprint, n, key_mins, key_ranges,
+                                null_order)
     entry = _cache.get(fingerprint)
     if entry is None:
         def sum_dtype_for(dt):
@@ -631,6 +744,7 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
             key_names, key_mins, key_ranges, scatters, p["where"],
             jnp.int64, sum_dtype_for)
         stage1.col_order = col_order
+        stage1.null_order = null_order
         gcap = config.bucket_size(dom)
         key_dtypes = [cols[kn].data.dtype for kn in key_names]
 
@@ -836,7 +950,7 @@ def _collect_carriers(scatters, env):
 
 
 def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
-                     n, key_mins, key_ranges):
+                     n, key_mins, key_ranges, null_order=()):
     """Packed-code sort group-by: one jitted program —
 
         pack keys into bit-fields of one-or-more int32 words (perfect-
@@ -861,7 +975,7 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
         # a single key wider than 30 bits: arithmetic int64 packing would
         # need emulated div/mod decode; the multi-key sort handles it
         return _run_sort(session, sel, table, p, col_order, arrays,
-                         fingerprint, n)
+                         fingerprint, n, null_order)
     fields, nwords = plan_w
     domain = 1
     for r in key_ranges:
@@ -874,6 +988,8 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
     if entry is None:
         def fused_ps(nn, *arrs):
             env = dict(zip(col_order, arrs))
+            env_null = {nm: ~v for nm, v in
+                        zip(null_order, arrs[len(col_order):])}
             idx = jnp.arange(cap, dtype=jnp.int32)
             valid = idx < nn
             if p["where"] is not None:
@@ -899,12 +1015,19 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
                 med_keys = [_row_eval(scatters[med_fps[0]][1][0], env)]
 
             carrier_keys, carrier_rows = _collect_carriers(scatters, env)
+            # null masks of nullable agg-arg columns ride the sort too
+            for nm in null_order:
+                carrier_keys.append("\0null:" + nm)
+                carrier_rows.append(env_null[nm])
             nk = nwords + len(med_keys)
             sorted_res = jax.lax.sort([*wvals, *med_keys, *carrier_rows],
                                       num_keys=nk, is_stable=False)
             scw = sorted_res[:nwords]
             med_sorted = sorted_res[nwords:nk]
             carriers_s = dict(zip(carrier_keys, sorted_res[nk:]))
+            null_fn = (make_null_fn({nm: carriers_s["\0null:" + nm]
+                                     for nm in null_order})
+                       if null_order else None)
 
             dif = jnp.zeros((cap - 1,), jnp.bool_)
             for sw in scw:
@@ -915,7 +1038,7 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
 
             add_s, mins_s, maxs_s, f64s_s = _build_lanes(
                 {}, valid_s, scatters,
-                eval_fn=lambda e: carriers_s[repr(e)])
+                eval_fn=lambda e: carriers_s[repr(e)], null_fn=null_fn)
             add_s.pop("__counts__")         # counts come from boundary idx
             outs, ends_idx, ng = R.sorted_group_reduce(
                 starts, last, add_s, mins_s, maxs_s, f64s_s, gcap,
@@ -958,7 +1081,8 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
     return _finish(session, p, cols, results, g, having=hv)
 
 
-def _run_sort(session, sel, table, p, col_order, arrays, fingerprint, n):
+def _run_sort(session, sel, table, p, col_order, arrays, fingerprint, n,
+              null_order=()):
     """Multi-key sort group-by (fallback for unpackable keys: float/huge
     ranges): lexicographic multi-operand sort carrying reduction lanes →
     boundary flags from all key columns → cumsum + boundary-gather
@@ -979,6 +1103,8 @@ def _run_sort(session, sel, table, p, col_order, arrays, fingerprint, n):
     if entry is None:
         def fused_sort(nn, *arrs):
             env = dict(zip(col_order, arrs))
+            env_null = {nm: ~v for nm, v in
+                        zip(null_order, arrs[len(col_order):])}
             idx = jnp.arange(cap, dtype=jnp.int32)
             valid = idx < nn
             if p["where"] is not None:
@@ -996,15 +1122,21 @@ def _run_sort(session, sel, table, p, col_order, arrays, fingerprint, n):
             # gather costs as much as the whole sort on TPU (~9 ns/row);
             # reduction lanes are built post-sort (_collect_carriers)
             carrier_keys, carrier_rows = _collect_carriers(scatters, env)
+            for nm in null_order:           # null masks ride the sort too
+                carrier_keys.append("\0null:" + nm)
+                carrier_rows.append(env_null[nm])
             sorted_res = jax.lax.sort(
                 [invalid, *ops, *carrier_rows], num_keys=1 + len(ops),
                 is_stable=False)
             valid_s = ~sorted_res[0]
             sorted_keys = sorted_res[1:1 + len(ops)]
             carriers_s = dict(zip(carrier_keys, sorted_res[1 + len(ops):]))
+            null_fn = (make_null_fn({nm: carriers_s["\0null:" + nm]
+                                     for nm in null_order})
+                       if null_order else None)
             add_s, mins_s, maxs_s, f64s_s = _build_lanes(
                 {}, valid_s, scatters,
-                eval_fn=lambda e: carriers_s[repr(e)])
+                eval_fn=lambda e: carriers_s[repr(e)], null_fn=null_fn)
 
             dif = sorted_res[0][1:] != sorted_res[0][:-1]
             for sk in sorted_keys:

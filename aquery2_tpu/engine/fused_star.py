@@ -44,10 +44,36 @@ def _and_all(conds):
     return out
 
 
+def _contains_agg(e) -> bool:
+    from aquery2_tpu.engine import fused_groupby as fg
+
+    if isinstance(e, A.Call):
+        if e.func in fg._SIMPLE_AGGS or e.func == "count":
+            return True
+        return any(_contains_agg(a) for a in e.args
+                   if not isinstance(a, A.Star))
+    if isinstance(e, A.BinOp):
+        return _contains_agg(e.left) or _contains_agg(e.right)
+    if isinstance(e, A.UnaryOp):
+        return _contains_agg(e.operand)
+    return False
+
+
 def try_run(session, sel: A.Select):
     """Return the result Table, or None if the shape doesn't fit."""
-    if not sel.group_by or sel.assumptions or sel.distinct or sel.unions:
+    if sel.assumptions or sel.distinct or sel.unions:
         return None
+    if not sel.group_by:
+        # ungrouped join-aggregate: worthwhile only on a mesh session
+        # (single-chip count-joins take engine/fused_join.py; anything
+        # else the general path handles) — the rewrite turns it into a
+        # single-table SPMD psum (dist_query.run_ungrouped)
+        if getattr(session, "mesh", None) is None:
+            return None
+        if not sel.projections or not all(
+                not isinstance(p.expr, A.Star) and _contains_agg(p.expr)
+                for p in sel.projections):
+            return None
 
     # normalize an explicit two-table JOIN (NATURAL / ON / USING,
     # reference engine/ast.py:874-1090) into the comma+WHERE form
@@ -340,6 +366,21 @@ def try_run(session, sel: A.Select):
         where=new_where, group_by=list(new_group),
         projections=list(new_projs), having=new_having,
         order_by=list(new_order))
+
+    if getattr(session, "mesh", None) is not None:
+        # mesh session: the probe stays row-sharded (the lookup table is
+        # small and replicated; the gather above is elementwise over fact
+        # rows), so the rewritten single-table group-by runs as the same
+        # SPMD program any sharded table does — join + group-by is ONE
+        # distributed program (VERDICT r2 missing #2)
+        from aquery2_tpu.engine import dist_query
+
+        if new_sel.group_by:
+            t = dist_query.run(session, new_sel, tmp)
+        else:
+            t = dist_query.run_ungrouped(session, new_sel, tmp)
+        if t is not None:
+            return t
 
     from aquery2_tpu.engine import fused_groupby
 

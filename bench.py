@@ -154,9 +154,10 @@ def run_suite(session, names, rows, iters, verbose=False,
     return times, errors
 
 
-# grouped single-table queries the distributed executor covers (no median
-# q6 — does not decompose into partials; no ordered q8; no joins)
-SCALING_QUERIES = ["q1", "q2", "q3", "q4", "q5", "q7", "q9", "q10"]
+# queries the distributed executor covers as SPMD programs: grouped
+# single-table aggregation, join count (qj), star join + group-by (qjg)
+SCALING_QUERIES = ["q1", "q2", "q3", "q4", "q5", "q7", "q9", "q10",
+                   "qj", "qjg"]
 
 
 def run_scaling(rows: int, iters: int, ndev: int, verbose: bool) -> dict:

@@ -133,10 +133,30 @@ def test_dist_path_accounting(pair):
     s8.execute("SELECT id1, sum(v1) FROM g GROUP BY id1")          # SPMD
     assert s8.stats.dist_spmd == spmd0 + 1
     assert s8.stats.dist_fallback == fb0
-    s8.execute("SELECT count(*) FROM g WHERE v1 > 2")   # ungrouped: falls back
+    s8.execute("SELECT count(*) FROM g WHERE v1 > 2")   # ungrouped: SPMD too
+    assert s8.stats.dist_spmd == spmd0 + 2
+    s8.execute("SELECT DISTINCT id1 FROM g")            # falls back
     assert s8.stats.dist_fallback == fb0 + 1
     assert s8.stats.dist_fallback_reasons
     assert "fallback" in s8.stats.format().lower()
+
+
+def test_dist_ungrouped_aggregates(pair):
+    """Whole-table aggregates run as ONE psum over the mesh and equal
+    the single-chip engine."""
+    for q in (
+        "SELECT count(*), sum(v1), min(v1), max(v1) FROM g",
+        "SELECT avg(v3), var(v1) FROM g WHERE v1 > 2",
+        "SELECT sum(v1) + count(*) FROM g",
+    ):
+        s1, s8 = pair
+        r1, r8 = s1.execute(q).rows(), s8.execute(q).rows()
+        assert len(r1) == len(r8) == 1
+        for x, y in zip(r1[0], r8[0]):
+            if isinstance(x, float):
+                assert y == pytest.approx(x, rel=1e-6, abs=1e-9)
+            else:
+                assert x == y
 
 
 def test_dist_insert_keeps_sharding(pair):
@@ -145,3 +165,76 @@ def test_dist_insert_keeps_sharding(pair):
     s8.execute("INSERT INTO t2 VALUES (1, 5), (1, 7), (2, 9)")
     r = s8.execute("SELECT a, sum(b) FROM t2 GROUP BY a ORDER BY a")
     assert r.rows() == [(1, 12), (2, 9)]
+
+
+# --------------------------------------------------------------------- #
+# distributed joins (VERDICT r2 missing #2): star group-by, count-join,
+# skewed keys through the radix-shuffle tier
+# --------------------------------------------------------------------- #
+
+@pytest.fixture(scope="module")
+def join_pair(rng8):
+    n = 8 * 600
+    fk = rng8.integers(1, 400, n)
+    fk[: n // 2] = 7                          # heavy-hitter key (skew)
+    fv = rng8.integers(1, 10, n)
+    fact = [(int(k), int(v)) for k, v in zip(fk, fv)]
+    dim = [(int(k), int(k % 5 + 1)) for k in range(1, 350)]
+    dim_dup = dim + dim[:40]                  # non-unique build keys
+    # wide key domain on one row forces the all_to_all shuffle tier
+    dim_wide = dim + [(6_000_000, 1)]
+
+    def load(db):
+        db.execute("CREATE TABLE fact(k INT, v INT)")
+        for name, rows in (("dim", dim), ("dim_dup", dim_dup),
+                           ("dim_wide", dim_wide)):
+            db.execute(f"CREATE TABLE {name}(k INT, w INT)")
+            db.catalog.get(name).append_rows(rows)
+            db.place_table(db.catalog.get(name))
+        db.catalog.get("fact").append_rows(fact)
+        db.place_table(db.catalog.get("fact"))
+
+    s1 = aq.connect()
+    load(s1)
+    s8 = aq.connect(mesh=8)
+    load(s8)
+    return s1, s8
+
+
+JOIN_QUERIES = [
+    # star join + group-by: ONE SPMD program (fused_star → dist_query)
+    "SELECT d.w, count(*), sum(f.v) FROM fact f, dim d "
+    "WHERE f.k = d.k GROUP BY d.w ORDER BY d.w",
+    "SELECT d.w, max(f.v) - min(f.v) FROM fact f, dim d "
+    "WHERE f.k = d.k GROUP BY d.w ORDER BY d.w",
+    # ungrouped join aggregate via the star rewrite + psum
+    "SELECT count(*), sum(f.v) FROM fact f, dim d WHERE f.k = d.k",
+    # count-join, histogram-psum tier (small domain, non-unique keys)
+    "SELECT count(*) FROM fact f, dim_dup d WHERE f.k = d.k",
+    # count-join, radix-shuffle tier (wide domain) under heavy skew
+    "SELECT count(*) FROM fact f, dim_wide d WHERE f.k = d.k",
+]
+
+
+@pytest.mark.parametrize("q", JOIN_QUERIES)
+def test_dist_join_matches_single_chip(join_pair, q):
+    s1, s8 = join_pair
+    spmd0 = s8.stats.dist_spmd
+    r1, r8 = s1.execute(q), s8.execute(q)
+    assert s8.stats.dist_spmd == spmd0 + 1, f"{q} fell back"
+    assert r1.rows() == r8.rows()
+
+
+def test_dist_join_oracle(join_pair):
+    """Distributed join count equals the exact NumPy oracle under skew."""
+    s1, s8 = join_pair
+    tf = s1.catalog.get("fact")
+    td = s1.catalog.get("dim_dup")
+    fk = np.asarray(tf.columns["k"].data[: tf.nrows])
+    dk = np.asarray(td.columns["k"].data[: td.nrows])
+    from collections import Counter
+
+    mult = Counter(dk.tolist())
+    want = int(sum(mult[k] for k in fk.tolist()))
+    r = s8.execute("SELECT count(*) FROM fact f, dim_dup d WHERE f.k = d.k")
+    assert r.rows() == [(want,)]
