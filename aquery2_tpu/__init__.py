@@ -37,6 +37,17 @@ jax.config.update("jax_enable_x64", True)
 # aquery2_tpu` would silently run on the default device.
 import os as _os0  # noqa: E402
 
+# Multi-host process group (parallel/multihost.py): must join BEFORE the
+# first jax computation initializes the local-only backend (including the
+# platform probe below), so the env-driven launch path
+# (AQ_COORDINATOR=host:port AQ_NUM_PROCESSES=N AQ_PROCESS_ID=i) binds
+# here at import — connect() covers the programmatic path when nothing
+# has touched the backend yet.
+if _os0.environ.get("AQ_COORDINATOR"):
+    from aquery2_tpu.parallel import multihost as _multihost  # noqa: E402
+
+    _multihost.initialize()
+
 _plat = _os0.environ.get("AQ_TPU_PLATFORM") or _os0.environ.get("JAX_PLATFORMS")
 if _plat and jax.config.jax_platforms != _plat:
     try:

@@ -1,0 +1,546 @@
+"""Distributed median / ordered-grouped queries: shuffle-by-key + local
+ordered kernels (VERDICT r2 missing #3).
+
+Median and ordered/windowed semantics (ASSUMING, subvec, running
+aggregates) do not decompose into per-shard partials the way sums do —
+but groups are INDEPENDENT: an all_to_all radix shuffle on the group key
+colocates every group on exactly one shard, after which the single-chip
+sorted-layout kernels (fused_groupby packed-sort median, fused_ordered
+windowed pipeline) run shard-locally and are EXACT. Per-shard group
+outputs are disjoint, so the merge is a compaction + key sort of the
+small group rows — no re-reduction.
+
+Reference analogue: the C++ ordered kernels (aggregations.h:127-330) and
+the per-group sort that made the reference disable h2o q6 ("x4" note,
+benchmark/h2o/groupby.sql:11) — all single-node. Skew note: a single
+heavy GROUP lands wholly on one shard (exact medians need all its rows
+together); bucket caps double until the exchange is lossless, degrading
+toward single-chip only for pathological one-group data.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from aquery2_tpu import config
+from aquery2_tpu import types as T
+from aquery2_tpu.engine import fused_groupby as fg
+from aquery2_tpu.ops import hashing
+from aquery2_tpu.parser import ast_nodes as A
+from aquery2_tpu.storage.table import Column, Table, VectorColumn
+from aquery2_tpu.utils import CaseInsensitiveDict, base62uuid
+
+_cache: dict[tuple, Any] = {}
+
+
+def _word_pack(env, valid, key_names, key_mins, fields, blk):
+    """Pack group keys into ONE int32 word (callers gate nwords == 1);
+    invalid rows carry the sentinel (sorts behind every group)."""
+    w = jnp.zeros((blk,), jnp.int32)
+    for ki, kn in enumerate(key_names):
+        _wi, shift, _b = fields[ki]
+        kv = env[kn] - jnp.asarray(key_mins[ki], env[kn].dtype)
+        w = w | (kv.astype(jnp.int32) << shift)
+    return jnp.where(valid, w, jnp.int32(1 << fg._WORD_BITS))
+
+
+def _shuffle(word, payloads, valid, axis, ndev, bcap):
+    """Radix all_to_all shuffle by hash(word) mod ndev (shard-local,
+    called inside shard_map). Returns (word_recv, payload_recvs, ok_recv,
+    dropped) with [ndev·bcap] receive buffers."""
+    from aquery2_tpu.parallel.dist_join import _pack_buckets_multi
+
+    kb, pb, okb, ndrop = _pack_buckets_multi(word, payloads, valid,
+                                             ndev, bcap)
+    a2a = lambda x: jax.lax.all_to_all(x, axis, 0, 0, tiled=False)  # noqa
+    return (a2a(kb).reshape(-1), [a2a(x).reshape(-1) for x in pb],
+            a2a(okb).reshape(-1), ndrop)
+
+
+def _prep(session, sel, table, p, need_packed_median):
+    """Shared gating + layout planning. Returns the layout dict or None
+    (bail reason already reported)."""
+    mesh = getattr(session, "mesh", None)
+    if mesh is None:
+        return None
+    axis = session.mesh_axis
+    ndev = mesh.shape[axis]
+    if ndev <= 1:
+        return None
+    cols = table.columns
+    n = table.nrows
+    if n == 0:
+        session.note_dist_bail("empty table")
+        return None
+    col_order = fg.referenced_columns(sel, p)
+    if table.has_nulls(col_order):
+        session.note_dist_bail("NULL columns in distributed ordered tier")
+        return None
+
+    key_names = [k.name.lower() for k in p["keys"]
+                 if isinstance(k, A.ColumnRef)]
+    if len(key_names) != len(p["keys"]):
+        session.note_dist_bail("computed keys in distributed ordered tier")
+        return None
+    key_mins, key_ranges = [], []
+    for kn in key_names:
+        c = cols[kn]
+        if c.data.dtype.kind not in "iub":
+            session.note_dist_bail("unpackable ordered group key")
+            return None
+        mn, mx = c.stats()
+        key_mins.append(int(mn))
+        key_ranges.append(int(mx) - int(mn) + 1)
+    plan_w = fg._plan_words(key_ranges)
+    if plan_w is None or plan_w[1] != 1:
+        session.note_dist_bail("ordered keys exceed one packed word")
+        return None
+    fields, _nwords = plan_w
+
+    arrays = [cols[nm].data for nm in col_order]
+    cap = int(arrays[0].shape[0])
+    if cap % ndev:
+        session.note_dist_bail("capacity not divisible by mesh size")
+        return None
+    blk = cap // ndev
+    return {"mesh": mesh, "axis": axis, "ndev": ndev, "cols": cols, "n": n,
+            "col_order": col_order, "arrays": arrays, "cap": cap,
+            "blk": blk, "key_names": key_names, "key_mins": key_mins,
+            "key_ranges": key_ranges, "fields": fields}
+
+
+# --------------------------------------------------------------------- #
+# distributed median (h2o q6 class)
+# --------------------------------------------------------------------- #
+
+def run_median(session, sel: A.Select, table: Table, p) -> Table | None:
+    """Grouped queries containing median(): shuffle rows so each group
+    colocates, run the packed-sort median kernel per shard (median arg
+    as the secondary sort key — fused_groupby._run_sort_packed), then
+    compact + key-sort the disjoint per-shard group rows."""
+    lay = _prep(session, sel, table, p, need_packed_median=True)
+    if lay is None:
+        return None
+    mesh, axis, ndev = lay["mesh"], lay["axis"], lay["ndev"]
+    cols, n, blk = lay["cols"], lay["n"], lay["blk"]
+    col_order, arrays = lay["col_order"], lay["arrays"]
+    key_names, key_mins = lay["key_names"], lay["key_mins"]
+    key_ranges, fields = lay["key_ranges"], lay["fields"]
+    scatters = fg._needed_scatters(p["aggs"])
+    key_dtypes = [cols[kn].data.dtype for kn in key_names]
+    domain = 1
+    for r in key_ranges:
+        domain *= r
+    sentinel = jnp.int32(1 << fg._WORD_BITS)
+    session.note_spmd()
+
+    sharded = [_shard(mesh, axis, a) for a in arrays]
+    bcap = config.bucket_size(max(2 * blk // ndev, 512))
+    for _ in range(6):           # doubled-cap retry on shuffle overflow
+        m = ndev * bcap          # received rows per shard
+        lgcap = min(m, config.bucket_size(min(domain, m)))
+        gcap = min(ndev * lgcap, config.bucket_size(ndev * lgcap))
+        fingerprint = ("dist-median", ndev, bcap,
+                       repr(sel.group_by),
+                       repr([pr[1] for pr in p["projections"]]),
+                       repr(p["where"]), repr(p["having"]),
+                       tuple(key_mins), tuple(key_ranges),
+                       tuple((a.shape[0], str(a.dtype)) for a in arrays))
+        entry = _cache.get(fingerprint)
+        if entry is None:
+            entry = _build_median(p, col_order, key_names, key_mins,
+                                  fields, key_dtypes, scatters, mesh, axis,
+                                  ndev, blk, bcap, lgcap, gcap, sentinel)
+            _cache[fingerprint] = entry
+        results, ng, dropped = entry(n, *sharded)
+        if int(dropped) == 0:
+            break
+        bcap *= 2
+    else:
+        session.note_dist_bail("shuffle overflow persists")
+        return None
+
+    g = int(ng)
+    out_cap = config.bucket_size(max(g, 1))
+    if out_cap < gcap:
+        results = [r[:out_cap] for r in results]
+    hv = results.pop() if p["having"] is not None else None
+    return fg._finish(session, p, cols, results, g, having=hv)
+
+
+def _build_median(p, col_order, key_names, key_mins, fields, key_dtypes,
+                  scatters, mesh, axis, ndev, blk, bcap, lgcap, gcap,
+                  sentinel):
+    med_fps = [fp for fp, (kind, _) in scatters.items() if kind == "median"]
+
+    def fused(nn, *arrs):
+        nspec = len(arrs)
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(), *([P(axis)] * nspec)),
+                 out_specs=(P(axis), P()))
+        def local(nn_, *blocks):
+            d = jax.lax.axis_index(axis).astype(jnp.int32)
+            idx = d * blk + jnp.arange(blk, dtype=jnp.int32)
+            env = dict(zip(col_order, blocks))
+            valid = idx < nn_
+            if p["where"] is not None:
+                w = fg._row_eval(p["where"], env)
+                if w.dtype != jnp.bool_:
+                    w = w != 0
+                valid = valid & w
+            word = _word_pack(env, valid, key_names, key_mins, fields, blk)
+
+            med_rows = ([fg._row_eval(scatters[med_fps[0]][1][0], env)]
+                        if med_fps else [])
+            carrier_keys, carrier_rows = fg._collect_carriers(scatters, env)
+
+            wr, payr, okr, ndrop = _shuffle(
+                word, med_rows + carrier_rows, valid, axis, ndev, bcap)
+            med_r = payr[: len(med_rows)]
+            carr_r = payr[len(med_rows):]
+            m = wr.shape[0]
+
+            wmask = jnp.where(okr, wr, sentinel)
+            nk = 1 + len(med_r)
+            sorted_res = jax.lax.sort([wmask, *med_r, *carr_r],
+                                      num_keys=nk, is_stable=False)
+            sw = sorted_res[0]
+            med_sorted = sorted_res[1:nk]
+            carriers_s = dict(zip(carrier_keys, sorted_res[nk:]))
+            valid_s = sw < sentinel
+            dif = sw[1:] != sw[:-1]
+            starts = jnp.concatenate([jnp.ones((1,), jnp.bool_), dif])
+            last = jnp.concatenate([dif, jnp.ones((1,), jnp.bool_)]) & valid_s
+            add_s, mins_s, maxs_s, f64s_s = fg._build_lanes(
+                {}, valid_s, scatters,
+                eval_fn=lambda e: carriers_s[repr(e)])
+            add_s.pop("__counts__")
+            from aquery2_tpu.ops import reduce as R
+            outs, ends_idx, lng = R.sorted_group_reduce(
+                starts, last, add_s, mins_s, maxs_s, f64s_s, lgcap,
+                counts_from_ends="__counts__",
+                extract={"__w": sw})
+            counts = outs["__counts__"]
+            if med_fps:
+                sv = med_sorted[0]
+                starts_g = ends_idx - (counts - 1)
+                lo_i = jnp.clip(starts_g + (counts - 1) // 2, 0, m - 1)
+                hi_i = jnp.clip(starts_g + counts // 2, 0, m - 1)
+                outs[med_fps[0] + ":median"] = (
+                    sv[lo_i].astype(jnp.float64)
+                    + sv[hi_i].astype(jnp.float64)) * 0.5
+
+            # per-shard FINAL projection values (groups are disjoint
+            # across shards — no re-reduction at the merge)
+            slot_ok = jnp.arange(lgcap, dtype=jnp.int32) < lng
+            projs = []
+            for kindp, expr, alias in p["projections"]:
+                if kindp == "key":
+                    projs.append(outs["__w"])       # decoded post-merge
+                else:
+                    projs.append(fg._post_agg_eval(expr, outs, counts,
+                                                   None))
+            if p["having"] is not None:
+                projs.append(fg._post_agg_eval(p["having"], outs, counts,
+                                               None))
+            return ((jnp.where(slot_ok, outs["__w"], sentinel), *projs),
+                    jax.lax.psum(ndrop.astype(jnp.int64), axis))
+
+        (words_all, *projs_all), dropped = local(nn, *arrs)
+        # merge: compact + key-sort the disjoint group rows (replicated)
+        sorted_res = jax.lax.sort([words_all, *projs_all], num_keys=1,
+                                  is_stable=False)
+        sw = sorted_res[0][:gcap]
+        ng = jnp.sum(sorted_res[0] < sentinel, dtype=jnp.int32)
+        results = []
+        pi = 1
+        for kindp, expr, alias in p["projections"]:
+            if kindp == "key":
+                ki = key_names.index(expr.name.lower())
+                _wi, shift, b = fields[ki]
+                kdt = key_dtypes[ki]
+                kv = ((sw >> shift) & ((1 << b) - 1)).astype(kdt) \
+                    + jnp.asarray(key_mins[ki], kdt)
+                results.append(kv)
+                pi += 1
+            else:
+                results.append(sorted_res[pi][:gcap])
+                pi += 1
+        if p["having"] is not None:
+            results.append(sorted_res[pi][:gcap])
+        return results, ng, dropped
+
+    return jax.jit(fused)
+
+
+def _shard(mesh: Mesh, axis: str, x) -> jax.Array:
+    from aquery2_tpu.parallel.mesh import shard_1d
+
+    return shard_1d(mesh, x, axis)      # multi-host aware placement
+
+
+# --------------------------------------------------------------------- #
+# distributed ordered/windowed grouped queries (h2o q8, trades windows)
+# --------------------------------------------------------------------- #
+
+def run_ordered(session, sel: A.Select, table: Table) -> Table | None:
+    """ASSUMING/windowed grouped queries (fused_ordered shapes) over the
+    mesh: shuffle rows by group key, run the ordered sorted-layout
+    pipeline per shard (windowed kernels + subvec + aggregates over the
+    colocated groups — ops/scan segmented kernels are exact within a
+    shard because every group is complete), assemble the disjoint
+    per-shard group outputs on host in global key order."""
+    from aquery2_tpu.engine import fused_ordered as fo
+
+    try:
+        p = fo.plan(sel, table)
+    except fg.Unsupported as e:
+        session.note_dist_bail(f"unsupported ordered shape: {e}")
+        return None
+
+    lay = _prep(session, sel, table, p, need_packed_median=False)
+    if lay is None:
+        return None
+    mesh, axis, ndev = lay["mesh"], lay["axis"], lay["ndev"]
+    cols, n, blk = lay["cols"], lay["n"], lay["blk"]
+    col_order, arrays = lay["col_order"], lay["arrays"]
+    key_names, key_mins = lay["key_names"], lay["key_mins"]
+    key_ranges, fields = lay["key_ranges"], lay["fields"]
+    scatters = fg._needed_scatters(p["aggs"])
+    key_dtypes = [cols[kn].data.dtype for kn in key_names]
+    domain = 1
+    for r in key_ranges:
+        domain *= r
+    sentinel = jnp.int32(1 << fg._WORD_BITS)
+    session.note_spmd()
+
+    sharded = [_shard(mesh, axis, a) for a in arrays]
+    bcap = config.bucket_size(max(2 * blk // ndev, 512))
+    for _ in range(6):
+        m = ndev * bcap
+        lgcap = min(m, config.bucket_size(min(domain, m)))
+        fingerprint = ("dist-ordered", ndev, bcap,
+                       repr(sel.group_by), repr(p["assume"]),
+                       repr([pr[1] for pr in p["projections"]]),
+                       repr(p["where"]),
+                       tuple(key_mins), tuple(key_ranges),
+                       tuple((a.shape[0], str(a.dtype)) for a in arrays))
+        entry = _cache.get(fingerprint)
+        if entry is None:
+            entry = _build_ordered(p, col_order, key_names, key_mins,
+                                   fields, scatters, mesh, axis, ndev, blk,
+                                   bcap, lgcap, sentinel)
+            _cache[fingerprint] = entry
+        flat, scalars, dropped = entry(n, *sharded)
+        if int(dropped) == 0:
+            break
+        bcap *= 2
+    else:
+        session.note_dist_bail("shuffle overflow persists")
+        return None
+
+    return _assemble_ordered(session, p, cols, key_names, key_mins, fields,
+                             key_dtypes, flat, scalars, ndev, lgcap)
+
+
+def _build_ordered(p, col_order, key_names, key_mins, fields, scatters,
+                   mesh, axis, ndev, blk, bcap, lgcap, sentinel):
+    from aquery2_tpu.engine import fused_ordered as fo
+    from aquery2_tpu.ops import segment
+
+    m = ndev * bcap
+
+    def fused(nn, *arrs):
+        nspec = len(arrs)
+        nrag = sum(1 for kindp, _, _ in p["projections"] if kindp == "row")
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(), *([P(axis)] * nspec)),
+                 out_specs=((P(axis),)                       # words
+                            + (P(axis),) * len(p["projections"])
+                            + (P(axis),) * nrag              # kept counts
+                            + (P(axis),)                     # scalars [3]
+                            + (P(),)))                       # dropped
+        def local(nn_, *blocks):
+            d = jax.lax.axis_index(axis).astype(jnp.int32)
+            idx0 = d * blk + jnp.arange(blk, dtype=jnp.int32)
+            env0 = dict(zip(col_order, blocks))
+            valid0 = idx0 < nn_
+            if p["where"] is not None:
+                w = fg._row_eval(p["where"], env0)
+                if w.dtype != jnp.bool_:
+                    w = w != 0
+                valid0 = valid0 & w
+            word = _word_pack(env0, valid0, key_names, key_mins, fields,
+                              blk)
+            payload = [env0[nm] for nm in col_order]
+            wr, payr, okr, ndrop = _shuffle(word, payload, valid0, axis,
+                                            ndev, bcap)
+            env = dict(zip(col_order, payr))
+            valid = okr
+            wmask = jnp.where(valid, wr, sentinel)
+
+            # sorted layout: word, assumption cols, iota tiebreak; env
+            # columns + validity ride as payload (never gather post-sort)
+            idx = jnp.arange(m, dtype=jnp.int32)
+            ops = [wmask]
+            for an, asc in p["assume"]:
+                a = env[an]
+                if not asc:
+                    a = ~a if a.dtype.kind in "iu" else -a
+                ops.append(jnp.where(valid, a,
+                                     jnp.asarray(fg._sentinel_max(a.dtype),
+                                                 a.dtype)))
+            res = jax.lax.sort(
+                [*ops, idx, valid, *[env[nm] for nm in col_order]],
+                num_keys=len(ops) + 1, is_stable=False)
+            sw = res[0]
+            valid_s = res[len(ops) + 1]
+            env_sorted = dict(zip(col_order, res[len(ops) + 2:]))
+            prev = jnp.concatenate([sw[:1], sw[:-1]])
+            diff = (sw != prev).at[0].set(True)
+            flags = diff & valid_s
+            ng = jnp.sum(flags, dtype=jnp.int32)
+            pos = segment.pos_from_flags(flags)
+
+            def eval_sorted(e):
+                return fo._ordered_row_eval(e, env_sorted, pos, flags)
+
+            last = jnp.concatenate(
+                [diff[1:], jnp.ones((1,), jnp.bool_)]) & valid_s
+            outs, _ends, _ng2 = fo._sorted_reduce(
+                eval_sorted, valid_s, diff, last, lgcap, scatters,
+                extract={"__w": sw})
+            counts = outs["__counts__"]
+            slot_ok = jnp.arange(lgcap, dtype=jnp.int32) < ng
+            counts_ok = jnp.where(slot_ok, counts.astype(jnp.int32), 0)
+            nvalid = jnp.sum(valid_s, dtype=jnp.int32)
+
+            words_out = jnp.where(slot_ok, outs["__w"], sentinel)
+            projs = []
+            kept_counts = []
+            total_kept = jnp.zeros((), jnp.int32)
+            for kindp, expr, alias in p["projections"]:
+                if kindp == "key":
+                    projs.append(words_out)
+                elif kindp == "row":
+                    if fo._is_window_call(expr) and expr.func == "subvec":
+                        base = eval_sorted(expr.args[0])
+                        a = int(expr.args[1].value)
+                        b = int(expr.args[2].value)
+                        kc = (jnp.minimum(counts_ok, b)
+                              - jnp.minimum(counts_ok, a))
+                        mask = valid_s & (pos >= a) & (pos < b)
+                        ckey = jnp.where(mask, idx, idx + jnp.int32(m))
+                        comp = jax.lax.sort([ckey, base], num_keys=1,
+                                            is_stable=False)
+                        projs.append(comp[1])
+                        kept_counts.append(kc)
+                        total_kept = total_kept + jnp.sum(kc)
+                    else:
+                        # sorted layout IS the CSR: valid rows lead
+                        projs.append(eval_sorted(expr))
+                        kept_counts.append(counts_ok)
+                        total_kept = total_kept + nvalid
+                else:
+                    projs.append(fg._post_agg_eval(expr, outs, counts,
+                                                   None))
+            scalars = jnp.stack([ng, nvalid, total_kept])
+            return (words_out, *projs, *kept_counts, scalars,
+                    jax.lax.psum(ndrop.astype(jnp.int64), axis))
+
+        res = local(nn, *arrs)
+        return res[:-2], res[-2], res[-1]
+
+    return jax.jit(fused)
+
+
+def _assemble_ordered(session, p, cols, key_names, key_mins, fields,
+                      key_dtypes, flat, scalars, ndev, lgcap):
+    """Host assembly: per-shard disjoint groups → one Table in global
+    key order (matching the single-chip fused_ordered group order)."""
+    from aquery2_tpu.engine.executor import _derive_name
+
+    sc = np.asarray(scalars).reshape(ndev, 3)
+    ng_d, nvalid_d, _kept_d = sc[:, 0], sc[:, 1], sc[:, 2]
+    words_all = np.asarray(flat[0]).reshape(ndev, lgcap)
+    nproj = len(p["projections"])
+    proj_arrays = [np.asarray(a) for a in flat[1: 1 + nproj]]
+    kept_arrays = [np.asarray(a).reshape(ndev, lgcap)
+                   for a in flat[1 + nproj:]]
+
+    # global group order: key-ascending across shards
+    shard_of = np.repeat(np.arange(ndev), ng_d)
+    slot_of = np.concatenate([np.arange(g) for g in ng_d]) \
+        if len(shard_of) else np.zeros(0, np.int64)
+    words = words_all[shard_of, slot_of]
+    order = np.argsort(words, kind="stable")
+    shard_of, slot_of, words = shard_of[order], slot_of[order], words[order]
+    G = len(words)
+
+    out = Table.__new__(Table)
+    out.name = f"result_{base62uuid(4)}"
+    out.columns = CaseInsensitiveDict()
+    out.sorted_by = ()
+    used: dict[str, int] = {}
+    rag_i = 0
+    for pi, (kindp, expr, alias) in enumerate(p["projections"]):
+        name = alias or _derive_name(expr)
+        lk = name.lower()
+        if lk in used:
+            used[lk] += 1
+            name = f"{name}_{used[lk]}"
+        else:
+            used[lk] = 0
+        if kindp == "key":
+            ki = key_names.index(expr.name.lower())
+            _wi, shift, b = fields[ki]
+            kv = ((words >> shift) & ((1 << b) - 1)).astype(
+                key_dtypes[ki]) + key_mins[ki]
+            src = cols[expr.name]
+            out.columns[name] = Column(name, src.sqltype, kv, nrows=G,
+                                       dictionary=src.dictionary)
+        elif kindp == "row":
+            vals2 = proj_arrays[pi].reshape(ndev, -1)
+            kc = kept_arrays[rag_i]
+            rag_i += 1
+            # per-shard CSR starts of each group's kept slice
+            offs_d = np.zeros((ndev, lgcap + 1), np.int64)
+            np.cumsum(kc, axis=1, out=offs_d[:, 1:])
+            lens = kc[shard_of, slot_of].astype(np.int64)
+            starts = offs_d[shard_of, slot_of] + shard_of * vals2.shape[1]
+            offsets = np.zeros(G + 1, np.int64)
+            np.cumsum(lens, out=offsets[1:])
+            total = int(offsets[-1])
+            flatv = vals2.reshape(-1)
+            gather = (np.repeat(starts, lens)
+                      + np.arange(total) - np.repeat(offsets[:-1], lens))
+            vals = flatv[gather] if total else flatv[:1]
+            st = T.from_np_dtype(vals.dtype)
+            out.columns[name] = VectorColumn(name, T.VectorT(st),
+                                             vals[: max(total, 1)],
+                                             offsets, nrows=G, total=total)
+        else:
+            arr2 = proj_arrays[pi].reshape(ndev, lgcap)
+            out.columns[name] = Column(
+                name, (T.from_np_dtype(arr2.dtype)
+                       if arr2.dtype != np.bool_ else T.BoolT),
+                arr2[shard_of, slot_of], nrows=G)
+
+    if p["into_table"]:
+        out.name = p["into_table"]
+        session.catalog.create(out, replace=True)
+    if p["into_outfile"]:
+        from aquery2_tpu.storage.result import Result
+
+        Result(out).to_csv(session.resolve_path(p["into_outfile"]),
+                           sep=p["outfile_sep"], header=False)
+    return out

@@ -77,8 +77,12 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
         session.note_dist_bail(f"unsupported shape: {e}")
         return None
     if p["has_median"]:
-        session.note_dist_bail("median does not decompose into partials")
-        return None               # dist_ordered shuffle tier lands next
+        # median does not decompose into partials — shuffle rows so each
+        # group colocates, then the packed-sort median kernel is exact
+        # per shard (engine/dist_ordered.py)
+        from aquery2_tpu.engine import dist_ordered
+
+        return dist_ordered.run_median(session, sel, table, p)
 
     cols = table.columns
     n = table.nrows
@@ -103,6 +107,11 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
 
     arrays = ([_shard(mesh, axis, cols[nm].data) for nm in col_order]
               + [_shard(mesh, axis, cols[nm].valid) for nm in null_order])
+    # per-shard ragged validity (materialized-join outputs,
+    # engine/dist_join_query.py): replaces the contiguous idx<n base mask
+    shard_valid = getattr(table, "shard_valid", None)
+    if shard_valid is not None:
+        arrays.append(_shard(mesh, axis, shard_valid))
     cap = int(arrays[0].shape[0])
     if cap % ndev:
         session.note_dist_bail("capacity not divisible by mesh size")
@@ -111,34 +120,38 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
     session.note_spmd()
 
     fingerprint = (
-        "dist", strategy, ndev,
+        "dist", strategy, ndev, shard_valid is not None,
         repr(sel.group_by), repr([pr[1] for pr in p["projections"]]),
         repr(p["where"]), repr(p["having"]),
         tuple(key_mins), tuple(key_ranges), tuple(null_order),
         tuple((a.shape[0], str(a.dtype)) for a in arrays),
     )
 
+    has_sv = shard_valid is not None
     if strategy == "dense":
         return _run_dense(session, table, p, col_order, arrays, fingerprint,
                           n, key_names, key_mins, key_ranges, scatters,
-                          domain, mesh, axis, blk, null_order)
+                          domain, mesh, axis, blk, null_order, has_sv)
     if strategy == "packed":
         plan_w = fg._plan_words(key_ranges)
         if plan_w is None:
             return _run_sortmerge(session, table, p, col_order, arrays,
                                   fingerprint, n, scatters, mesh, axis, blk,
-                                  packed=None, null_order=null_order)
+                                  packed=None, null_order=null_order,
+                                  has_sv=has_sv)
         return _run_sortmerge(session, table, p, col_order, arrays,
                               fingerprint, n, scatters, mesh, axis, blk,
                               packed=(plan_w, key_mins, key_ranges, key_names),
-                              null_order=null_order)
+                              null_order=null_order, has_sv=has_sv)
     return _run_sortmerge(session, table, p, col_order, arrays, fingerprint,
                           n, scatters, mesh, axis, blk, packed=None,
-                          null_order=null_order)
+                          null_order=null_order, has_sv=has_sv)
 
 
 def _shard(mesh: Mesh, axis: str, x: jax.Array) -> jax.Array:
-    return jax.device_put(x, NamedSharding(mesh, P(axis)))
+    from aquery2_tpu.parallel.mesh import shard_1d
+
+    return shard_1d(mesh, x, axis)      # multi-host aware placement
 
 
 # --------------------------------------------------------------------- #
@@ -207,6 +220,10 @@ def run_ungrouped(session, sel: A.Select, table: Table) -> Table | None:
 
     arrays = ([_shard(mesh, axis, cols[nm].data) for nm in col_order]
               + [_shard(mesh, axis, cols[nm].valid) for nm in null_order])
+    shard_valid = getattr(table, "shard_valid", None)
+    if shard_valid is not None:
+        arrays.append(_shard(mesh, axis, shard_valid))
+    has_sv = shard_valid is not None
     cap = int(arrays[0].shape[0])
     if cap % ndev:
         session.note_dist_bail("capacity not divisible by mesh size")
@@ -214,7 +231,7 @@ def run_ungrouped(session, sel: A.Select, table: Table) -> Table | None:
     blk = cap // ndev
     session.note_spmd()
 
-    fingerprint = ("dist-ungrouped", ndev,
+    fingerprint = ("dist-ungrouped", ndev, has_sv,
                    repr([pr[1] for pr in projections]), repr(sel.where),
                    tuple(null_order),
                    tuple((a.shape[0], str(a.dtype)) for a in arrays))
@@ -232,7 +249,7 @@ def run_ungrouped(session, sel: A.Select, table: Table) -> Table | None:
                 env_null = {nm: ~v for nm, v in
                             zip(null_order, blocks[len(col_order):])}
                 null_fn = fg.make_null_fn(env_null) if env_null else None
-                valid = idx < nn_
+                valid = blocks[-1] if has_sv else (idx < nn_)
                 if p["where"] is not None:
                     w = fg._row_eval(p["where"], env)
                     if w.dtype != jnp.bool_:
@@ -262,7 +279,7 @@ def run_ungrouped(session, sel: A.Select, table: Table) -> Table | None:
 
 def _run_dense(session, table, p, col_order, arrays, fingerprint, n,
                key_names, key_mins, key_ranges, scatters, domain,
-               mesh, axis, blk, null_order=()):
+               mesh, axis, blk, null_order=(), has_sv=False):
     cols = table.columns
     strides = []
     s = 1
@@ -288,7 +305,7 @@ def _run_dense(session, table, p, col_order, arrays, fingerprint, n,
                 env_null = {nm: ~v for nm, v in
                             zip(null_order, blocks[len(col_order):])}
                 null_fn = fg.make_null_fn(env_null) if env_null else None
-                valid = idx < nn_
+                valid = blocks[-1] if has_sv else (idx < nn_)
                 if p["where"] is not None:
                     w = fg._row_eval(p["where"], env)
                     if w.dtype != jnp.bool_:
@@ -345,7 +362,8 @@ def _run_dense(session, table, p, col_order, arrays, fingerprint, n,
 # --------------------------------------------------------------------- #
 
 def _run_sortmerge(session, table, p, col_order, arrays, fingerprint, n,
-                   scatters, mesh, axis, blk, packed, null_order=()):
+                   scatters, mesh, axis, blk, packed, null_order=(),
+                   has_sv=False):
     """packed = ((fields, nwords), key_mins, key_ranges, key_names) for
     the bit-packed tier, or None for raw multikey sort."""
     cols = table.columns
@@ -388,7 +406,7 @@ def _run_sortmerge(session, table, p, col_order, arrays, fingerprint, n,
                 env_null = {nm: ~v for nm, v in
                             zip(null_order, blocks[len(col_order):])}
                 null_fn = fg.make_null_fn(env_null) if env_null else None
-                valid = idx < nn_
+                valid = blocks[-1] if has_sv else (idx < nn_)
                 if p["where"] is not None:
                     w = fg._row_eval(p["where"], env)
                     if w.dtype != jnp.bool_:

@@ -259,6 +259,15 @@ class Executor:
                     self.session.catalog.get(sel.sources[0].name))
                 if t is not None:
                     return t
+                # ordered/windowed grouped shapes (ASSUMING, subvec,
+                # running aggregates): shuffle-by-key colocation tier
+                from aquery2_tpu.engine import dist_ordered
+
+                t = dist_ordered.run_ordered(
+                    self.session, sel,
+                    self.session.catalog.get(sel.sources[0].name))
+                if t is not None:
+                    return t
             from aquery2_tpu.engine import fused_groupby
 
             t = fused_groupby.run(self.session,
@@ -291,6 +300,18 @@ class Executor:
             from aquery2_tpu.engine import fused_join
 
             t = fused_join.try_run(self.session, sel)
+            if t is not None:
+                return t
+
+        if (self.session.mesh is not None and not sel.assumptions
+                and (len(sel.sources) == 2
+                     or (len(sel.sources) == 1
+                         and isinstance(sel.sources[0], A.JoinSource)))):
+            # general distributed equi-join (non-unique/wide build keys):
+            # materialized all_to_all shuffle join + SPMD aggregation
+            from aquery2_tpu.engine import dist_join_query
+
+            t = dist_join_query.try_run(self.session, sel)
             if t is not None:
                 return t
 

@@ -594,8 +594,10 @@ def referenced_columns(sel: A.Select, p) -> list[str]:
         walk(expr)
     if p["where"] is not None:
         walk(p["where"])
-    if p["having"] is not None:
-        walk(p["having"])
+    if p.get("having") is not None:
+        walk(p.get("having"))
+    for an, _asc in p.get("assume", ()):        # ordered plans
+        referenced.add(an)
     return sorted(referenced)
 
 

@@ -169,7 +169,9 @@ def _mesh_count_join(session, lcol, rcol, ln: int, rn: int,
     import jax
     from functools import partial
     from jax import shard_map
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
+
+    from aquery2_tpu.parallel.mesh import shard_1d
 
     mesh = session.mesh
     axis = session.mesh_axis
@@ -180,9 +182,8 @@ def _mesh_count_join(session, lcol, rcol, ln: int, rn: int,
         session.note_dist_bail("capacity not divisible by mesh size")
         return None
 
-    sh = NamedSharding(mesh, P(axis))
-    lk = jax.device_put(lcol.data, sh)
-    rk = jax.device_put(rcol.data, sh)
+    lk = shard_1d(mesh, lcol.data, axis)
+    rk = shard_1d(mesh, rcol.data, axis)
 
     if domain is not None and domain <= _MESH_HIST_MAX_DOMAIN:
         ck = ("hist", ndev, lcap, rcap, str(lk.dtype), str(rk.dtype),
@@ -216,10 +217,8 @@ def _mesh_count_join(session, lcol, rcol, ln: int, rn: int,
     from aquery2_tpu import config
     from aquery2_tpu.parallel.dist_join import dist_join_counts_safe
 
-    lvalid = jax.device_put(
-        jnp.arange(lcap, dtype=jnp.int32) < ln, sh)
-    rvalid = jax.device_put(
-        jnp.arange(rcap, dtype=jnp.int32) < rn, sh)
+    lvalid = shard_1d(mesh, jnp.arange(lcap, dtype=jnp.int32) < ln, axis)
+    rvalid = shard_1d(mesh, jnp.arange(rcap, dtype=jnp.int32) < rn, axis)
     blk = max(lcap, rcap) // ndev
     cap0 = config.bucket_size(max(2 * blk // ndev, 512))
     return int(dist_join_counts_safe(mesh, axis, lk, lvalid, rk, rvalid,

@@ -226,7 +226,19 @@ class Session:
 
 
 def connect(base_dir: str | None = None,
-            mesh: "int | object | None" = None) -> Session:
+            mesh: "int | object | None" = None,
+            coordinator: str | None = None,
+            num_processes: int | None = None,
+            process_id: int | None = None) -> Session:
     """mesh: device count (power of two) or a jax Mesh for distributed
-    execution; None/1 = single-chip."""
+    execution; None/1 = single-chip.
+
+    Multi-host: pass coordinator="host0:port", num_processes, process_id
+    (or set AQ_COORDINATOR / AQ_NUM_PROCESSES / AQ_PROCESS_ID) on every
+    participating process BEFORE the first jax computation — the mesh
+    then spans all hosts' devices and every SPMD query tier runs over
+    ICI + DCN unchanged (parallel/multihost.py)."""
+    from aquery2_tpu.parallel import multihost
+
+    multihost.initialize(coordinator, num_processes, process_id)
     return Session(base_dir=base_dir, mesh=mesh)

@@ -155,9 +155,11 @@ def run_suite(session, names, rows, iters, verbose=False,
 
 
 # queries the distributed executor covers as SPMD programs: grouped
-# single-table aggregation, join count (qj), star join + group-by (qjg)
-SCALING_QUERIES = ["q1", "q2", "q3", "q4", "q5", "q7", "q9", "q10",
-                   "qj", "qjg"]
+# single-table aggregation, median q6 + ordered q8 (shuffle-by-key
+# colocation, engine/dist_ordered.py), join count (qj), star join +
+# group-by (qjg) — the full h2o suite runs distributed
+SCALING_QUERIES = ["q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9",
+                   "q10", "qj", "qjg"]
 
 
 def run_scaling(rows: int, iters: int, ndev: int, verbose: bool) -> dict:

@@ -1,0 +1,102 @@
+"""Distributed median + ordered/windowed grouped queries (VERDICT r2 #3).
+
+h2o q6 (median) and q8 (ASSUMING + subvec) classes, plus running/
+windowed aggregates, executed over the 8-device mesh by shuffle-by-key
+colocation (engine/dist_ordered.py) and checked against the single-chip
+engine. Reference analogue: aggregations.h:127-330 ordered kernels.
+"""
+
+import numpy as np
+import pytest
+
+import aquery2_tpu as aq
+
+
+@pytest.fixture(scope="module")
+def pair():
+    rng = np.random.default_rng(21)
+    n = 8 * 700
+    rows = [(int(a), int(b), int(t), float(x)) for a, b, t, x in zip(
+        rng.integers(1, 11, n), rng.integers(1, 16, n),
+        rng.permutation(n), rng.random(n).round(5))]
+
+    def load(db):
+        db.execute("CREATE TABLE o(id4 INT, id5 INT, ts INT, v3 DOUBLE)")
+        db.catalog.get("o").append_rows(rows)
+        db.place_table(db.catalog.get("o"))
+
+    s1 = aq.connect()
+    load(s1)
+    s8 = aq.connect(mesh=8)
+    load(s8)
+    return s1, s8
+
+
+QUERIES = [
+    # h2o q6 class: median + stddev, two keys (packed word)
+    "SELECT id4, id5, median(v3) AS med, stddev(v3) AS sd FROM o "
+    "GROUP BY id4, id5",
+    "SELECT id4, median(v3) FROM o WHERE v3 > 0.25 GROUP BY id4",
+    # h2o q8 class: top-2 per group via subvec under ASSUMING DESC
+    "SELECT id4, subvec(v3, 0, 2) AS largest2 FROM o "
+    "ASSUMING DESC v3 GROUP BY id4",
+    # aggregate over a running scan
+    "SELECT id4, max(sums(v3)) FROM o ASSUMING ASC ts GROUP BY id4",
+    # windowed row output (ragged)
+    "SELECT id4, avgs(3, v3) FROM o ASSUMING ASC ts GROUP BY id4",
+    "SELECT id4, mins(v3), deltas(v3) FROM o ASSUMING ASC ts GROUP BY id4",
+]
+
+
+def _eq(x, y, q, a, b):
+    if isinstance(x, (list, tuple)):
+        assert len(x) == len(y), (q, a, b)
+        for u, v in zip(x, y):
+            _eq(u, v, q, a, b)
+    elif isinstance(x, float):
+        assert y == pytest.approx(x, rel=1e-9, abs=1e-12), (q, a, b)
+    else:
+        assert x == y, (q, a, b)
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_dist_ordered_matches_single_chip(pair, q):
+    s1, s8 = pair
+    spmd0 = s8.stats.dist_spmd
+    r1, r8 = s1.execute(q), s8.execute(q)
+    assert s8.stats.dist_spmd == spmd0 + 1, f"{q} fell back"
+    assert r1.column_names() == r8.column_names()
+    rows1, rows8 = r1.rows(), r8.rows()
+    assert len(rows1) == len(rows8)
+    for a, b in zip(rows1, rows8):
+        for x, y in zip(a, b):
+            _eq(x, y, q, a, b)
+
+
+def test_dist_median_oracle(pair):
+    """Distributed median equals the NumPy oracle exactly."""
+    s1, s8 = pair
+    tbl = s1.catalog.get("o")
+    n = tbl.nrows
+    k = np.asarray(tbl.columns["id4"].data[:n])
+    v = np.asarray(tbl.columns["v3"].data[:n])
+    want = {int(kk): float(np.median(v[k == kk])) for kk in np.unique(k)}
+    r = s8.execute("SELECT id4, median(v3) FROM o GROUP BY id4")
+    got = {row[0]: row[1] for row in r.rows()}
+    assert got.keys() == want.keys()
+    for kk in want:
+        assert got[kk] == pytest.approx(want[kk], rel=1e-12)
+
+
+def test_dist_subvec_oracle(pair):
+    """Distributed top-2 per group equals the NumPy oracle."""
+    s1, s8 = pair
+    tbl = s1.catalog.get("o")
+    n = tbl.nrows
+    k = np.asarray(tbl.columns["id4"].data[:n])
+    v = np.asarray(tbl.columns["v3"].data[:n])
+    r = s8.execute("SELECT id4, subvec(v3, 0, 2) FROM o "
+                   "ASSUMING DESC v3 GROUP BY id4")
+    for kk, top2 in r.rows():
+        want = np.sort(v[k == kk])[::-1][:2]
+        assert list(top2) == pytest.approx(want.tolist(), rel=1e-12)

@@ -225,6 +225,32 @@ def test_dist_join_matches_single_chip(join_pair, q):
     assert r1.rows() == r8.rows()
 
 
+GENERAL_JOIN_QUERIES = [
+    # non-unique build keys: the star rewrite declines → materialized
+    # all_to_all shuffle join + SPMD group-by (engine/dist_join_query.py)
+    "SELECT d.w, count(*), sum(f.v) FROM fact f, dim_dup d "
+    "WHERE f.k = d.k GROUP BY d.w ORDER BY d.w",
+    # ungrouped aggregate over the materialized join + residual predicate
+    "SELECT sum(f.v), count(*) FROM fact f, dim_dup d "
+    "WHERE f.k = d.k AND f.v > 3",
+    # group by the probe-side key + HAVING over the joined pairs
+    "SELECT f.k, count(*) FROM fact f, dim_dup d WHERE f.k = d.k "
+    "GROUP BY f.k HAVING count(*) > 20 ORDER BY f.k",
+    # explicit JOIN ... ON syntax
+    "SELECT d.w, max(f.v) FROM fact f JOIN dim_dup d ON f.k = d.k "
+    "GROUP BY d.w ORDER BY d.w",
+]
+
+
+@pytest.mark.parametrize("q", GENERAL_JOIN_QUERIES)
+def test_dist_general_join_matches_single_chip(join_pair, q):
+    s1, s8 = join_pair
+    spmd0 = s8.stats.dist_spmd
+    r1, r8 = s1.execute(q), s8.execute(q)
+    assert s8.stats.dist_spmd == spmd0 + 1, f"{q} fell back"
+    assert r1.rows() == r8.rows()
+
+
 def test_dist_join_oracle(join_pair):
     """Distributed join count equals the exact NumPy oracle under skew."""
     s1, s8 = join_pair

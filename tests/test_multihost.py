@@ -1,0 +1,115 @@
+"""Multi-host execution: 2 processes × 4 CPU devices, one 8-device mesh.
+
+The BASELINE.md north star is scaling "1 chip → 1 host → N hosts"; the
+reference has no multi-node story at all (SURVEY.md §5). This test
+launches two REAL processes against a localhost coordinator
+(jax.distributed.initialize via aq.connect), row-shards a table over the
+GLOBAL 8-device mesh, runs distributed group-by / ungrouped / count-join
+SQL in both processes (the SPMD multi-controller contract), and checks
+the results against a NumPy oracle in each process.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_CHILD = r"""
+import os, sys
+pid, port = int(sys.argv[1]), sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+# env-driven multi-host launch path: the package joins the process group
+# at import, before anything can initialize the local-only backend
+os.environ["AQ_COORDINATOR"] = f"localhost:{port}"
+os.environ["AQ_NUM_PROCESSES"] = "2"
+os.environ["AQ_PROCESS_ID"] = str(pid)
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import aquery2_tpu as aq
+
+db = aq.connect(mesh=8)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8, len(jax.devices())
+assert db.mesh is not None
+
+rng = np.random.default_rng(99)          # same seed in both processes
+n = 8 * 400
+k = rng.integers(1, 9, n)
+v = rng.integers(1, 100, n)
+rows = [(int(a), int(b)) for a, b in zip(k, v)]
+db.execute("CREATE TABLE t(k INT, v INT)")
+db.catalog.get("t").append_rows(rows)
+db.place_table(db.catalog.get("t"))
+
+# dense tier group-by over the 2-process mesh
+r = db.execute("SELECT k, sum(v), count(*) FROM t GROUP BY k ORDER BY k")
+want = [(int(kk), int(v[k == kk].sum()), int((k == kk).sum()))
+        for kk in sorted(np.unique(k))]
+assert r.rows() == want, (r.rows()[:3], want[:3])
+
+# packed tier: two keys
+db.execute("CREATE TABLE t2(a INT, b INT, v INT)")
+a2 = rng.integers(1, 6, n); b2 = rng.integers(1, 6, n); v2 = rng.integers(1, 50, n)
+db.catalog.get("t2").append_rows(
+    [(int(x), int(y), int(z)) for x, y, z in zip(a2, b2, v2)])
+db.place_table(db.catalog.get("t2"))
+r2 = db.execute("SELECT a, b, sum(v) FROM t2 GROUP BY a, b ORDER BY a, b")
+want2 = [(int(aa), int(bb), int(v2[(a2 == aa) & (b2 == bb)].sum()))
+         for aa in sorted(np.unique(a2)) for bb in sorted(np.unique(b2))
+         if ((a2 == aa) & (b2 == bb)).any()]
+assert r2.rows() == want2
+
+# ungrouped psum
+r3 = db.execute("SELECT count(*), sum(v), max(v) FROM t")
+assert r3.rows() == [(n, int(v.sum()), int(v.max()))]
+
+# distributed count-join (histogram psum tier)
+db.execute("CREATE TABLE d(k INT, w INT)")
+db.catalog.get("d").append_rows([(i, i % 3) for i in range(1, 6)])
+db.place_table(db.catalog.get("d"))
+r4 = db.execute("SELECT count(*) FROM t, d WHERE t.k = d.k")
+assert r4.rows() == [(int(np.isin(k, [1, 2, 3, 4, 5]).sum()),)]
+
+assert db.stats.dist_spmd >= 4 and db.stats.dist_fallback == 0, (
+    db.stats.dist_spmd, db.stats.dist_fallback_reasons)
+print(f"MULTIHOST_OK {pid}", flush=True)
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_mesh(tmp_path):
+    script = tmp_path / "child.py"
+    script.write_text(_CHILD)
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(i), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for i in range(2)]
+    outs = []
+    for i, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"process {i} timed out")
+        outs.append((p.returncode, out, err))
+    for i, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"process {i} failed:\n{err[-3000:]}"
+        assert f"MULTIHOST_OK {i}" in out, (out, err[-1500:])
