@@ -159,6 +159,7 @@ def run_median(session, sel: A.Select, table: Table, p) -> Table | None:
                                   fields, key_dtypes, scatters, mesh, axis,
                                   ndev, blk, bcap, lgcap, gcap, sentinel)
             _cache[fingerprint] = entry
+        session._last_spmd = (entry, (n, *sharded))   # comm accounting
         results, ng, dropped = entry(n, *sharded)
         if int(dropped) == 0:
             break
@@ -339,6 +340,7 @@ def run_ordered(session, sel: A.Select, table: Table) -> Table | None:
                                    fields, scatters, mesh, axis, ndev, blk,
                                    bcap, lgcap, sentinel)
             _cache[fingerprint] = entry
+        session._last_spmd = (entry, (n, *sharded))   # comm accounting
         flat, scalars, dropped = entry(n, *sharded)
         if int(dropped) == 0:
             break

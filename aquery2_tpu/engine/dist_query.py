@@ -269,6 +269,7 @@ def run_ungrouped(session, sel: A.Select, table: Table) -> Table | None:
         entry = jax.jit(fused)
         _cache[fingerprint] = entry
 
+    session._last_spmd = (entry, (n, *arrays))   # comm accounting
     results = entry(n, *arrays)
     return fg._finish(session, p, cols, results, 1)
 
@@ -348,6 +349,7 @@ def _run_dense(session, table, p, col_order, arrays, fingerprint, n,
         entry = jax.jit(fused)
         _cache[fingerprint] = entry
 
+    session._last_spmd = (entry, (n, *arrays))   # comm accounting
     results, num_groups = entry(n, *arrays)
     g = int(num_groups)          # the single host sync
     out_cap = config.bucket_size(max(g, 1))
@@ -518,6 +520,7 @@ def _run_sortmerge(session, table, p, col_order, arrays, fingerprint, n,
         entry = jax.jit(fused)
         _cache[fingerprint] = entry
 
+    session._last_spmd = (entry, (n, *arrays))   # comm accounting
     results, num_groups = entry(n, *arrays)
     g = int(num_groups)          # the single host sync
     out_cap = config.bucket_size(max(g, 1))

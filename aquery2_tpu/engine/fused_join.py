@@ -211,6 +211,7 @@ def _mesh_count_join(session, lcol, rcol, ln: int, rn: int,
                 return jax.lax.psum(jnp.sum(cnt, dtype=jnp.int64), axis)
 
             _mesh_cache[ck] = fn
+        session._last_spmd = (fn, (ln, rn, lk, rk))   # comm accounting
         return int(fn(ln, rn, lk, rk))
 
     # unbounded domain: radix shuffle + local searchsorted (skew-safe)

@@ -67,6 +67,9 @@ class Session:
         self._dist_hit = False
         self._dist_reason: str | None = None
         self._warned_fallbacks: set[str] = set()
+        # (jitted fn, args) of the most recent SPMD query program, for
+        # collective-volume accounting (parallel/comm.py)
+        self._last_spmd = None
 
     # -- distributed-path accounting ----------------------------------------
 

@@ -167,21 +167,100 @@ def run_scaling(rows: int, iters: int, ndev: int, verbose: bool) -> dict:
     scaling efficiency (BASELINE.md metric: target ≥70%). On a real
     multi-chip slice this measures ICI scaling; on the CPU backend with
     forced host devices it validates the machinery (devices share cores,
-    so efficiency there reflects collective overhead only)."""
+    so efficiency there reflects collective overhead only).
+
+    Also reports per-query COLLECTIVE COMMUNICATION VOLUME extracted
+    from the compiled SPMD programs (parallel/comm.py) — a static
+    property of the programs and the honest scaling evidence when real
+    multi-chip hardware is unavailable: rows/s·chip scales while
+    wire bytes stay O(groups)/O(domain), independent of row count."""
     import aquery2_tpu as aq
+    from aquery2_tpu.parallel import comm
 
     out = {}
+    comm_report = {}
     for nd in (1, ndev):
         session = aq.connect(mesh=nd if nd > 1 else None)
         make_data(session, rows)
         times, _errors = run_suite(session, SCALING_QUERIES, rows, iters,
                                    verbose=verbose, tag=f"[{nd}dev] ")
         out[nd] = rows * len(SCALING_QUERIES) / sum(times.values())
+        if nd > 1:
+            for name in SCALING_QUERIES:
+                session._last_spmd = None
+                session.execute(QUERIES[name])
+                st = comm.last_query_comm(session)
+                if st is not None:
+                    comm_report[name] = {
+                        "wire_bytes_per_chip": st.get("wire_bytes_per_chip"),
+                        "collectives": {k: v for k, v in st.items()
+                                        if isinstance(v, dict)},
+                    }
     eff = (out[ndev] / ndev) / out[1]
     return {"rows_per_s_1dev": round(out[1], 1),
             f"rows_per_s_{ndev}dev": round(out[ndev], 1),
             "ndev": ndev,
-            "scaling_efficiency": round(eff, 4)}
+            "scaling_efficiency": round(eff, 4),
+            "comm_volume": comm_report}
+
+
+# covariances-style aggregation UDF (reference compiles these to C++
+# lambdas, engine/ast.py:1551-1812; here the body traces to one jitted
+# program vmapped over groups, engine/udf_device.py). Population
+# covariance — algebraically identical to the built-in pipeline below.
+UDF_DDL = """AGGREGATION FUNCTION udfcov(x, y){
+    sx := 0.; sy := 0.; sxy := 0.;
+    l := _builtin_len;
+    for (i := 0; i < l; i += 1) { sx += x[i]; sy += y[i]; sxy += x[i]*y[i]; }
+    (sxy - sx * sy / l) / l
+}"""
+UDF_QUERY = "SELECT id3, udfcov(v1, v2) AS c FROM source GROUP BY id3"
+UDF_BUILTIN = ("SELECT id3, avg(v1 * v2) - avg(v1) * avg(v2) AS c "
+               "FROM source GROUP BY id3")
+
+
+def run_udf_compare(rows: int, iters: int, verbose: bool) -> dict:
+    """Device-lowered aggregation-UDF throughput vs (a) the equivalent
+    built-in aggregate pipeline and (b) the host interpreter (measured
+    at a small scale — it is per-group Python). Scale capped at 1e7
+    rows: the vmap-over-groups layout pads G×L (udf_device._MAX_ELEMS
+    gates giant-group shapes back to host)."""
+    import aquery2_tpu as aq
+    from aquery2_tpu.engine import udf_device
+
+    m = min(rows, 10_000_000)
+    s = aq.connect()
+    make_data(s, m)
+    s.execute(UDF_DDL)
+
+    def best(q, k):
+        s.execute(q)
+        b = float("inf")
+        for _ in range(k):
+            t1 = time.perf_counter()
+            s.execute(q)
+            b = min(b, time.perf_counter() - t1)
+        return b
+
+    out = {"rows": m}
+    out["udf_device_s"] = round(best(UDF_QUERY, iters), 4)
+    out["builtin_s"] = round(best(UDF_BUILTIN, iters), 4)
+    out["udf_vs_builtin"] = round(out["udf_device_s"] / out["builtin_s"], 2)
+    # host interpreter at 1e5 rows (per-group Python — for the ratio)
+    hs = aq.connect()
+    make_data(hs, 100_000)
+    hs.execute(UDF_DDL)
+    saved = udf_device.try_run_aggregation_udf
+    udf_device.try_run_aggregation_udf = lambda *a, **k: None
+    try:
+        t1 = time.perf_counter()
+        hs.execute(UDF_QUERY)
+        out["host_interp_s_at_1e5"] = round(time.perf_counter() - t1, 4)
+    finally:
+        udf_device.try_run_aggregation_udf = saved
+    if verbose:
+        print(f"# udf: {out}", file=sys.stderr)
+    return out
 
 
 def main() -> int:
@@ -199,6 +278,8 @@ def main() -> int:
     ap.add_argument("--scaling", type=int, default=0, metavar="N",
                     help="measure 1-device vs N-device rows/s and print "
                          "scaling efficiency")
+    ap.add_argument("--no-udf", action="store_true",
+                    help="skip the aggregation-UDF vs built-in comparison")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -251,6 +332,11 @@ def main() -> int:
     }
     if errors:
         rec["errors"] = errors
+    if not args.no_udf:
+        try:
+            rec["udf"] = run_udf_compare(args.rows, args.iters, args.verbose)
+        except Exception as e:  # noqa: BLE001 — never kill the bench line
+            rec["udf"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     print(json.dumps(rec))
     return 0
 
