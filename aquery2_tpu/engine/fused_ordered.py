@@ -311,9 +311,41 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
     cap = int(arrays[0].shape[0])
     scatters = fg._needed_scatters(p["aggs"])
 
+    # group capacity from key-domain stats: per-group outputs and the
+    # boundary extraction size to the true group-count bound, NOT the
+    # row count — at 1e8 rows / 1e7 groups (h2o q8) extraction gathers
+    # sized cap instead of domain cost ~3 s of the 4.9 s query
+    domain = 1
+    for kn in key_names:
+        c = cols[kn]
+        if c.data.dtype.kind in "iub" and domain < cap:
+            mn, mx = c.stats()
+            domain *= max(int(mx) - int(mn) + 1, 1)
+        else:
+            domain = cap
+            break
+    gout = config.bucket_size(min(domain, cap))
+
+    # Sort-operand budget (the whole query is ONE sort + scans, so every
+    # operand is ~0.5-1.3 ns/row of HBM traffic at 1e8 rows):
+    #  * validity rides as the MOST SIGNIFICANT key (1 bool op) instead
+    #    of sentinel-masking every key/assume column — and doubles as
+    #    the valid_s payload.
+    #  * key and assume columns are RECONSTRUCTED from their sorted key
+    #    operands (asc: identity; desc int: ~x; desc float: -x) instead
+    #    of riding again as payload.
+    #  * the iota tiebreak key (AQuery's insertion-order-within-equal-
+    #    keys semantics, reference engine/ast.py:312) is DROPPED when
+    #    every referenced column is itself a key/assume column: rows
+    #    that tie are then entirely identical, so any order yields the
+    #    same sequences. h2o q8 goes from 6 sort operands to 3.
+    assume_names = [an for an, _ in p["assume"]]
+    reconstructible = set(key_names) | set(assume_names)
+    carried = [nm for nm in col_order if nm not in reconstructible]
+    need_idx = bool(carried)
     fingerprint = ("ordered", repr(sel.group_by), repr(p["assume"]),
                    repr([pr[1] for pr in p["projections"]]),
-                   repr(p["where"]),
+                   repr(p["where"]), gout,
                    tuple((a.shape[0], str(a.dtype)) for a in arrays))
     entry = _cache.get(fingerprint)
     if entry is None:
@@ -326,37 +358,38 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
                 if w.dtype != jnp.bool_:
                     w = w != 0
                 valid = valid & w
-            # sort: group keys (sentinel for invalid) then assumptions
-            ops = []
+            invalid = ~valid
+            ops = [invalid]
             for kn in key_names:
-                k = env[kn]
-                ops.append(jnp.where(valid, k,
-                                     jnp.asarray(fg._sentinel_max(k.dtype), k.dtype)))
+                ops.append(env[kn])
+            desc_tf = {}
             for an, asc in p["assume"]:
                 a = env[an]
                 if not asc:
                     a = ~a if a.dtype.kind in "iu" else -a
-                ops.append(jnp.where(valid, a,
-                                     jnp.asarray(fg._sentinel_max(a.dtype), a.dtype)))
-            # idx is BOTH payload (the permutation) and the final sort key:
-            # ties break by original row order, preserving insertion order
-            # within groups — AQuery's ordered semantics (ASSUMING keeps
-            # the base order for equal keys, reference engine/ast.py:312).
-            # Referenced columns + validity ride the sort as payload
-            # operands: a random gather costs as much as the whole sort
-            # on TPU (~9 ns/row), so never env[..][perm].
+                    desc_tf[an] = a.dtype.kind
+                ops.append(a)
+            if need_idx:
+                ops.append(idx)
             res = jax.lax.sort(
-                [*ops, idx, valid, *[env[nm] for nm in col_order]],
-                num_keys=len(ops) + 1, is_stable=False)
-            perm = res[len(ops)]
-            sorted_keys = res[: len(key_names)]
-            valid_s = res[len(ops) + 1]
-            env_sorted = dict(zip(col_order, res[len(ops) + 2:]))
-            diff = jnp.zeros((cap,), jnp.bool_)
+                [*ops, *[env[nm] for nm in carried]],
+                num_keys=len(ops), is_stable=False)
+            valid_s = ~res[0]
+            sorted_keys = res[1: 1 + len(key_names)]
+            env_sorted = dict(zip(carried, res[len(ops):]))
+            for ki, kn in enumerate(key_names):
+                env_sorted.setdefault(kn, sorted_keys[ki])
+            for ai, (an, asc) in enumerate(p["assume"]):
+                s = res[1 + len(key_names) + ai]
+                if an in env_sorted:
+                    continue
+                if not asc:
+                    s = ~s if desc_tf[an] in "iu" else -s
+                env_sorted[an] = s
+            diff = res[0][1:] != res[0][:-1]        # validity boundary
             for sk in sorted_keys:
-                prev = jnp.concatenate([sk[:1], sk[:-1]])
-                diff = diff | (sk != prev)
-            diff = diff.at[0].set(True)
+                diff = diff | (sk[1:] != sk[:-1])
+            diff = jnp.concatenate([jnp.ones((1,), jnp.bool_), diff])
             flags = diff & valid_s
             gid_raw = jnp.cumsum(flags.astype(jnp.int32)) - 1
             ng = jnp.sum(flags, dtype=jnp.int32)
@@ -372,7 +405,7 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
             last = jnp.concatenate(
                 [diff[1:], jnp.ones((1,), jnp.bool_)]) & valid_s
             outs, ends_idx, _ng2 = _sorted_reduce(
-                eval_sorted, valid_s, diff, last, cap, scatters,
+                eval_sorted, valid_s, diff, last, gout, scatters,
                 extract={f"__key{ki}": sorted_keys[ki]
                          for ki in range(len(key_names))})
             counts = outs["__counts__"]
@@ -390,7 +423,7 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
                 # 16M-row int64 cumsum measured ~134 ms vs ~10 ms int32);
                 # counts ≤ n < 2^31 always fits. Slots ≥ ng hold garbage
                 # — zero them so the running offsets stay flat.
-                slot_ok = jnp.arange(cap, dtype=jnp.int32) < ng
+                slot_ok = jnp.arange(gout, dtype=jnp.int32) < ng
                 counts_ok = jnp.where(slot_ok, counts.astype(jnp.int32), 0)
                 offs_all = jnp.concatenate([
                     jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_ok)])

@@ -351,14 +351,15 @@ def sorted_group_reduce(starts, last, add_lanes, min_lanes, max_lanes,
     # int32-key sort costs ~4.3 ns/row + ~1.3 ns/row per payload lane;
     # a random gather costs ~29 ns per OUTPUT element per lane (not the
     # 9 ns earlier small-scale estimate — gathers get WORSE at HBM
-    # scale while sorts amortize). Pick the cheaper extraction:
-    #   gathers:          gcap · L · 29
+    # scale while sorts amortize); an int32 scatter ~9 ns/row. Pick the
+    # cheaper extraction — the compact path's own cost is NOT free
+    # (round-2 gate omitted it and h2o q8's counts-only extraction,
+    # L=1, paid a full-size scatter + gcap=n gathers ≈ 3 s at 1e8):
+    #   compact_indices:  n · 9.5 (cumsum+scatter) + gcap · 29 · L
     #   compaction sort:  n · (4.3 + 1.3 · L)
-    # At L=7 lanes the crossover is gcap ≈ 0.066·n — h2o q3/q5 (12.6M
-    # groups of 100M rows) sat on the wrong side of the old gcap·4 ≥ n
-    # gate and paid ~2 s of gathers per query.
+    # For L ≤ 4 the sort always wins; beyond that small gcap can flip it.
     L = len(end_vals)
-    use_compaction_sort = L >= 2 and gcap * 29 * L >= n * (4.3 + 1.3 * L)
+    use_compaction_sort = n * (4.3 + 1.3 * L) <= n * 9.5 + gcap * 29 * L
     if use_compaction_sort:
         idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
         # the sort key doubles as the end-row index (key = idx at end
