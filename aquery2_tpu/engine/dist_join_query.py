@@ -194,7 +194,8 @@ def try_run(session, sel: A.Select) -> Table | None:
             or not tables[1].nrows:
         session.note_dist_bail("capacity not divisible by mesh size")
         return None
-    session.note_spmd()
+    # note_spmd is left to the dist_query tier that consumes the joined
+    # buffers — if it declines, the query correctly counts as a fallback
 
     from aquery2_tpu.parallel.dist_join import dist_equijoin_safe
     from aquery2_tpu.parallel.mesh import shard_1d

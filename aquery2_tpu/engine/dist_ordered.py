@@ -306,6 +306,12 @@ def run_ordered(session, sel: A.Select, table: Table) -> Table | None:
     except fg.Unsupported as e:
         session.note_dist_bail(f"unsupported ordered shape: {e}")
         return None
+    if jax.process_count() > 1:
+        # _assemble_ordered pulls P(axis)-sharded ragged buffers to host,
+        # which needs every shard addressable — single-controller only
+        session.note_dist_bail("ordered tier host assembly is "
+                               "single-process only")
+        return None
 
     lay = _prep(session, sel, table, p, need_packed_median=False)
     if lay is None:

@@ -390,6 +390,8 @@ def _run_sortmerge(session, table, p, col_order, arrays, fingerprint, n,
         lgcap = blk
     gcap = min(ndev * lgcap, config.bucket_size(min(cap, ndev * lgcap)))
 
+    narrow = fg.narrow_sum_tags(scatters, table.columns, blk)
+    fingerprint = fingerprint + (tuple(sorted(narrow)),)
     entry = _cache.get(fingerprint)
     if entry is None:
         nspec = len(arrays)
@@ -449,7 +451,8 @@ def _run_sortmerge(session, table, p, col_order, arrays, fingerprint, n,
                 outs, _ends, lng = R.sorted_group_reduce(
                     starts, last, add_s, mins_s, maxs_s, f64s_s, lgcap,
                     counts_from_ends="__counts__",
-                    extract={f"__k{i}": skeys[i] for i in range(len(kops))})
+                    extract={f"__k{i}": skeys[i] for i in range(len(kops))},
+                    narrow_tags=narrow)
                 slot_ok = jnp.arange(lgcap, dtype=jnp.int32) < lng
                 outs["__ok"] = slot_ok
                 return outs

@@ -670,6 +670,29 @@ def nullable_gate(p, cols, col_order):
     return nullable, None
 
 
+def narrow_sum_tags(scatters, cols, cap: int) -> frozenset:
+    """Tags of integer sum lanes whose worst-case total fits int32
+    (column-stats bound × row capacity < 2^31): ops.reduce reduces them
+    with ONE plain int32 cumsum instead of the 64-bit limb-pair
+    machinery — one extraction lane instead of two (h2o q3/q5 carry
+    sum(v1)/sum(v2) this way)."""
+    out = set()
+    for fp, (kind, args) in scatters.items():
+        if kind not in ("sum", "avg", "mean"):
+            continue
+        a = args[0] if args else None
+        if not isinstance(a, A.ColumnRef) or a.name not in cols:
+            continue
+        c = cols[a.name]
+        if getattr(c, "is_vector", False) or c.data.dtype.kind not in "iub":
+            continue
+        mn, mx = c.stats()
+        bound = max(abs(int(mn)), abs(int(mx)), 1)
+        if bound * cap < 2**31 - 1:
+            out.add(fp + ":sum")
+    return frozenset(out)
+
+
 def make_null_fn(env_null):
     """null_fn for _build_lanes: arg exprs → OR of referenced columns'
     NULL masks (arithmetic/comparison over NULL is NULL), or None."""
@@ -971,6 +994,8 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
     key_names = [k.name.lower() for k in p["keys"]]
     scatters = _needed_scatters(p["aggs"])
     cap = int(arrays[0].shape[0])
+    narrow = narrow_sum_tags(scatters, cols, cap)
+    fingerprint = fingerprint + (tuple(sorted(narrow)),)
 
     plan_w = _plan_words(key_ranges)
     if plan_w is None:
@@ -1045,7 +1070,8 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
             outs, ends_idx, ng = R.sorted_group_reduce(
                 starts, last, add_s, mins_s, maxs_s, f64s_s, gcap,
                 counts_from_ends="__counts__",
-                extract={f"__word{wi}": scw[wi] for wi in range(nwords)})
+                extract={f"__word{wi}": scw[wi] for wi in range(nwords)},
+                narrow_tags=narrow)
             counts = outs["__counts__"]
             if med_fps:
                 sv = med_sorted[0]
@@ -1100,6 +1126,8 @@ def _run_sort(session, sel, table, p, col_order, arrays, fingerprint, n,
     keys = p["keys"]
     scatters = _needed_scatters(p["aggs"])
     cap = int(arrays[0].shape[0])
+    narrow = narrow_sum_tags(scatters, cols, cap)
+    fingerprint = fingerprint + (tuple(sorted(narrow)),)
 
     entry = _cache.get(fingerprint)
     if entry is None:
@@ -1148,7 +1176,8 @@ def _run_sort(session, sel, table, p, col_order, arrays, fingerprint, n,
             outs, ends_idx, ng = R.sorted_group_reduce(
                 starts, last, add_s, mins_s, maxs_s, f64s_s, cap,
                 extract={f"__key{ki}": sorted_keys[ki]
-                         for ki in range(len(keys))})
+                         for ki in range(len(keys))},
+                narrow_tags=narrow)
             counts = outs["__counts__"]
             results = []
             for kindp, expr, alias in p["projections"]:

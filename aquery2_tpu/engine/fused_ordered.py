@@ -15,12 +15,17 @@ e.g. trades q7  `SELECT sym, avgs(5, price) ... ASSUMING ASC time GROUP BY sym`
 Pipeline, traced once per query×shape (single device dispatch):
 
   1. validity (+ WHERE) mask
-  2. ONE multi-key sort: [group keys..., assumption cols..., iota] —
-     group-major, assumption-ordered within groups
+  2. ONE multi-key sort: [invalid, group keys..., assumption cols...,
+     iota?] — group-major, assumption-ordered within groups. Key and
+     assume columns are NOT re-carried as payload (they reconstruct
+     from their sorted key operands), and the iota tiebreak drops when
+     every referenced column is a key/assume column — h2o q8 sorts 3
+     operands where round 2 sorted 6
   3. boundary flags → dense group ids + per-row positions
   4. windowed/running expressions via ops.scan segmented kernels
-  5. aggregates via the shared wide scatter (fused_groupby._scatter_aggs)
-  6. outputs: per-group scalars [cap] and ragged row values (sorted
+  5. aggregates via the shared sorted reduction, group outputs sized to
+     the key-domain bound from column stats (not the row count)
+  6. outputs: per-group scalars [gout] and ragged row values (sorted
      layout) + per-group counts — host assembles VectorColumns after the
      single num_groups sync
 """
@@ -343,9 +348,10 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
     reconstructible = set(key_names) | set(assume_names)
     carried = [nm for nm in col_order if nm not in reconstructible]
     need_idx = bool(carried)
+    narrow = fg.narrow_sum_tags(scatters, cols, cap)
     fingerprint = ("ordered", repr(sel.group_by), repr(p["assume"]),
                    repr([pr[1] for pr in p["projections"]]),
-                   repr(p["where"]), gout,
+                   repr(p["where"]), gout, tuple(sorted(narrow)),
                    tuple((a.shape[0], str(a.dtype)) for a in arrays))
     entry = _cache.get(fingerprint)
     if entry is None:
@@ -407,7 +413,8 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
             outs, ends_idx, _ng2 = _sorted_reduce(
                 eval_sorted, valid_s, diff, last, gout, scatters,
                 extract={f"__key{ki}": sorted_keys[ki]
-                         for ki in range(len(key_names))})
+                         for ki in range(len(key_names))},
+                narrow_tags=narrow)
             counts = outs["__counts__"]
 
             # ragged layouts: everything group-sized stays on device; the
@@ -549,7 +556,7 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
 
 
 def _sorted_reduce(eval_sorted, valid_s, starts, last, cap, scatters,
-                   extract=None):
+                   extract=None, narrow_tags=frozenset()):
     """Group reduction over rows already sorted by group key, with a
     custom row evaluator (windowed leaves resolved by eval_sorted).
     Cumsum/boundary-extraction based — no per-group scatters
@@ -560,4 +567,4 @@ def _sorted_reduce(eval_sorted, valid_s, starts, last, cap, scatters,
                                             eval_fn=eval_sorted)
     return R.sorted_group_reduce(starts, last, add, mins, maxs, f64s, cap,
                                  counts_from_ends="__counts__",
-                                 extract=extract)
+                                 extract=extract, narrow_tags=narrow_tags)

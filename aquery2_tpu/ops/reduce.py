@@ -286,7 +286,8 @@ def _segmented_extreme(starts: jax.Array, v: jax.Array, is_min: bool):
 
 def sorted_group_reduce(starts, last, add_lanes, min_lanes, max_lanes,
                         f64_lanes, gcap, counts_from_ends: str | None = None,
-                        extract: dict[str, jax.Array] | None = None):
+                        extract: dict[str, jax.Array] | None = None,
+                        narrow_tags: frozenset = frozenset()):
     """Group reduction over rows ALREADY sorted by group key.
 
     starts: [n] bool, True at each group's first row (row 0 True).
@@ -325,11 +326,17 @@ def sorted_group_reduce(starts, last, add_lanes, min_lanes, max_lanes,
     pair_ok = _pallas_segsum_ok(n)
     end_vals: dict[str, jax.Array] = {}
     pair_tags: set[str] = set()
+    n32_tags: set[str] = set()
     for t, col in (add_lanes or {}).items():
         if t == counts_from_ends:
             continue
-        if pair_ok and (col.dtype in (jnp.int64, jnp.int32, jnp.float32)
-                        or col.dtype == jnp.bool_):
+        if col.dtype == jnp.bool_ or t in narrow_tags:
+            # total provably < 2^31 (bool lanes: ≤ n rows; narrow_tags:
+            # stats-bounded, fused_groupby.narrow_sum_tags) — ONE native
+            # int32 cumsum, one extraction lane instead of two limbs
+            end_vals[t] = jnp.cumsum(col.astype(jnp.int32))
+            n32_tags.add(t)
+        elif pair_ok and col.dtype in (jnp.int64, jnp.int32, jnp.float32):
             from aquery2_tpu.ops import pallas_kernels as PK
             hi, lo = PK.split_i64_limbs(col)
             shi, slo = PK.seg_cumsum_i64(starts, hi, lo)
@@ -392,6 +399,11 @@ def sorted_group_reduce(starts, last, add_lanes, min_lanes, max_lanes,
                                         at_ends[t + "\0lo"])
             continue
         ends_v = at_ends[t]
+        if t in n32_tags:
+            prev32 = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                      ends_v[:-1]])
+            outs[t] = (ends_v - prev32).astype(jnp.int64)
+            continue
         prev = jnp.concatenate([jnp.zeros((1,), jnp.int64), ends_v[:-1]])
         outs[t] = ends_v - prev
     for t in (min_lanes or {}):
