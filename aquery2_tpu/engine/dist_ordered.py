@@ -27,12 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from aquery2_tpu import config
 from aquery2_tpu import types as T
 from aquery2_tpu.engine import fused_groupby as fg
-from aquery2_tpu.ops import hashing
 from aquery2_tpu.parser import ast_nodes as A
 from aquery2_tpu.storage.table import Column, Table, VectorColumn
 from aquery2_tpu.utils import CaseInsensitiveDict, base62uuid

@@ -281,6 +281,16 @@ class Executor:
             if t is not None:
                 return t
 
+            from aquery2_tpu.engine import udf_device
+
+            # scalar aggregation-UDF group-by: fused grouping preamble
+            # + vmapped body (skips the multi-sync general pipeline)
+            t = udf_device.try_run_fused(
+                self.session, sel,
+                self.session.catalog.get(sel.sources[0].name))
+            if t is not None:
+                return t
+
         if (not sel.assumptions
                 and (len(sel.sources) == 2
                      or (len(sel.sources) == 1

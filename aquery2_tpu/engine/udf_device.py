@@ -393,6 +393,31 @@ def _returns_vector(body) -> bool:
     return "_builtin_ret" in hit
 
 
+def make_per_group(udf, vec_params: list, scalars: list, L: int,
+                   ret_vec: bool):
+    """The traced one-group body: (length, *mat_rows [L]) → scalar or
+    [L] vector. vmapped over groups by callers."""
+    def per_group(length, *mat_rows):
+        env: dict[str, Any] = {}
+        m = (jnp.arange(L, dtype=jnp.int32)
+             < jnp.asarray(length).astype(jnp.int32))
+        for p, row in zip(vec_params, mat_rows):
+            env[p] = _Vec(row, m)
+        for p, sval in scalars:
+            env[p] = sval
+        env["_builtin_len"] = jnp.asarray(length, jnp.float64)
+        env["_builtin_ret"] = jnp.zeros((L,), jnp.float64)
+        tr = _Tracer(env, L)
+        res = tr.run(udf.body)
+        if ret_vec:
+            return env["_builtin_ret"]
+        if res is None or isinstance(res, _Vec):
+            raise _Untraceable("scalar UDF returned nothing")
+        return jnp.asarray(res, jnp.float64)
+
+    return per_group
+
+
 def try_run_aggregation_udf(ctx, udf, args):
     """Device path; returns a Value or None (→ host fallback)."""
     from aquery2_tpu.engine.eval import Value
@@ -412,8 +437,6 @@ def try_run_aggregation_udf(ctx, udf, args):
     cap = ctx.ws.capacity
     col = jnp.clip(starts[:, None].astype(jnp.int32)
                    + jnp.arange(L, dtype=jnp.int32)[None, :], 0, cap - 1)
-    lmask = (jnp.arange(L, dtype=jnp.int32)[None, :]
-             < lens[:, None].astype(jnp.int32))
 
     mats = []
     scalars = []
@@ -425,24 +448,8 @@ def try_run_aggregation_udf(ctx, udf, args):
             mats.append((p, rv.data.astype(jnp.float64)[col]))
 
     ret_vec = _returns_vector(udf.body)
-
-    def per_group(length, *mat_rows):
-        env: dict[str, Any] = {}
-        m = (jnp.arange(L, dtype=jnp.int32)
-             < jnp.asarray(length).astype(jnp.int32))
-        for (p, _), row in zip(mats, mat_rows):
-            env[p] = _Vec(row, m)
-        for p, sval in scalars:
-            env[p] = sval
-        env["_builtin_len"] = jnp.asarray(length, jnp.float64)
-        env["_builtin_ret"] = jnp.zeros((L,), jnp.float64)
-        tr = _Tracer(env, L)
-        res = tr.run(udf.body)
-        if ret_vec:
-            return env["_builtin_ret"]
-        if res is None or isinstance(res, _Vec):
-            raise _Untraceable("scalar UDF returned nothing")
-        return jnp.asarray(res, jnp.float64)
+    per_group = make_per_group(udf, [p for p, _ in mats], scalars, L,
+                               ret_vec)
 
     try:
         out = jax.jit(jax.vmap(per_group))(
@@ -461,3 +468,232 @@ def try_run_aggregation_udf(ctx, udf, args):
         row_vals = out[seg, jnp.clip(ctx.pos, 0, L - 1)]
         return Value("row", row_vals, T.DoubleT)
     return Value("group", out, T.DoubleT)
+
+
+# --------------------------------------------------------------------- #
+# fused UDF tier: one sort program + one vmapped-body program
+# --------------------------------------------------------------------- #
+
+_fused_cache: dict[tuple, Any] = {}
+
+
+def try_run_fused(session, sel, table) -> "Any | None":
+    """Fused path for `SELECT keys..., udf(cols...) FROM t [WHERE row]
+    GROUP BY keys` with a SCALAR-returning aggregation UDF.
+
+    The general executor's grouping preamble (gb.group_by + WorkingSet
+    permutation + per-stage host syncs) measured ~1.9 s at 1e7 rows over
+    a tunneled chip — more than the UDF body itself. Here the whole
+    preamble is ONE jitted program (sentinel-word sort with an iota
+    tiebreak preserving insertion order within groups — reference UDF
+    lambdas see rows in base order, engine/ast.py:765-777 — plus
+    boundary extraction), one (ng, Lmax) sync, then the vmapped body
+    program over [gcap, L-bucket] matrices. Returns a Table or None."""
+    from aquery2_tpu import config
+    from aquery2_tpu import types as T
+    from aquery2_tpu.engine import fused_groupby as fg
+    from aquery2_tpu.ops import reduce as R
+    from aquery2_tpu.parser import ast_nodes as A
+    from aquery2_tpu.storage.table import Column, Table
+    from aquery2_tpu.utils import CaseInsensitiveDict, base62uuid
+
+    if (sel.assumptions or sel.distinct or sel.unions or sel.having
+            or sel.order_by or sel.limit is not None or not sel.group_by):
+        return None
+    if len(sel.sources) != 1 or not isinstance(sel.sources[0], A.TableSource):
+        return None
+    cols = table.columns
+    n = table.nrows
+    if n == 0:
+        return None
+
+    # keys: plain int/dict columns packable into ONE word
+    key_names = []
+    for g in sel.group_by:
+        if not (isinstance(g, A.ColumnRef) and g.name in cols):
+            return None
+        c = cols[g.name]
+        if getattr(c, "is_vector", False) or c.data.dtype.kind not in "iub":
+            return None
+        key_names.append(g.name.lower())
+    key_mins, key_ranges = [], []
+    for kn in key_names:
+        mn, mx = cols[kn].stats()
+        key_mins.append(int(mn))
+        key_ranges.append(int(mx) - int(mn) + 1)
+    plan_w = fg._plan_words(key_ranges)
+    if plan_w is None or plan_w[1] != 1:
+        return None
+    fields, _nw = plan_w
+    domain = 1
+    for r in key_ranges:
+        domain *= r
+
+    # projections: key refs + exactly one scalar-returning UDF call over
+    # plain numeric columns / literals
+    keyset = set(key_names)
+    udf_call = None
+    out_plan = []          # ("key", name, alias) | ("udf", alias)
+    for pr in sel.projections:
+        e = pr.expr
+        if isinstance(e, A.ColumnRef) and e.name.lower() in keyset:
+            out_plan.append(("key", e.name.lower(), pr.alias))
+            continue
+        if isinstance(e, A.Call) and e.func in session.udfs \
+                and udf_call is None:
+            udf_call = e
+            out_plan.append(("udf", None, pr.alias))
+            continue
+        return None
+    if udf_call is None:
+        return None
+    udf = session.udfs[udf_call.func.lower()]
+    if not getattr(udf, "is_aggregation", True):
+        return None
+    if _returns_vector(udf.body):
+        return None          # ragged outputs: general path assembles
+    vec_params, scalars, arg_cols = [], [], []
+    if len(udf_call.args) != len(udf.params):
+        return None
+    for p, a in zip(udf.params, udf_call.args):
+        if isinstance(a, A.Literal) and not a.is_string:
+            scalars.append((p, jnp.asarray(float(a.value), jnp.float64)))
+        elif isinstance(a, A.ColumnRef) and a.name in cols \
+                and not getattr(cols[a.name], "is_vector", False) \
+                and not cols[a.name].sqltype.is_string \
+                and getattr(cols[a.name], "valid", None) is None:
+            vec_params.append(p)
+            arg_cols.append(a.name.lower())
+        else:
+            return None
+    if sel.where is not None:
+        try:
+            fg._check_row_expr(sel.where, cols)
+        except fg.Unsupported:
+            return None
+    referenced = sorted(set(key_names) | set(arg_cols)
+                        | (fg._refs(sel.where) if sel.where is not None
+                           else set()))
+    if table.has_nulls(referenced):
+        return None
+
+    arrays = [cols[nm].data for nm in referenced]
+    cap = int(arrays[0].shape[0])
+    gout = config.bucket_size(min(domain, cap))
+    sentinel = jnp.int32(1 << fg._WORD_BITS)
+
+    # ---- program A: sort + boundary extraction -------------------------
+    fpA = ("udfA", repr(sel.group_by), repr(sel.where), tuple(arg_cols),
+           tuple(key_mins), tuple(key_ranges), gout,
+           tuple((a.shape[0], str(a.dtype)) for a in arrays))
+    progA = _fused_cache.get(fpA)
+    if progA is None:
+        def fusedA(nn, *arrs):
+            env = dict(zip(referenced, arrs))
+            idx = jnp.arange(cap, dtype=jnp.int32)
+            valid = idx < nn
+            if sel.where is not None:
+                w = fg._row_eval(sel.where, env)
+                if w.dtype != jnp.bool_:
+                    w = w != 0
+                valid = valid & w
+            word = jnp.zeros((cap,), jnp.int32)
+            for ki, kn in enumerate(key_names):
+                _wi, shift, _b = fields[ki]
+                kv = env[kn] - jnp.asarray(key_mins[ki], env[kn].dtype)
+                word = word | (kv.astype(jnp.int32) << shift)
+            word = jnp.where(valid, word, sentinel)
+            # iota tiebreak: insertion order within groups (UDF bodies
+            # are order-sensitive)
+            res = jax.lax.sort(
+                [word, idx, *[env[nm] for nm in arg_cols]],
+                num_keys=2, is_stable=False)
+            sw = res[0]
+            sorted_args = res[2:]
+            valid_s = sw < sentinel
+            dif = sw[1:] != sw[:-1]
+            starts = jnp.concatenate([jnp.ones((1,), jnp.bool_), dif])
+            last = jnp.concatenate([dif, jnp.ones((1,), jnp.bool_)]) \
+                & valid_s
+            outs, ends_idx, ng = R.sorted_group_reduce(
+                starts, last, {"__counts__": valid_s}, {}, {}, {}, gout,
+                counts_from_ends="__counts__", extract={"__w": sw})
+            counts = outs["__counts__"].astype(jnp.int32)
+            slot_ok = jnp.arange(gout, dtype=jnp.int32) < ng
+            counts = jnp.where(slot_ok, counts, 0)
+            starts_g = jnp.where(slot_ok, ends_idx - counts + 1, 0)
+            lmax = jnp.max(counts)
+            return (sorted_args, outs["__w"], counts, starts_g,
+                    jnp.stack([ng, lmax]))
+
+        progA = jax.jit(fusedA)
+        _fused_cache[fpA] = progA
+
+    sorted_args, words_g, counts, starts_g, sc = progA(n, *arrays)
+    s_host = np.asarray(sc)                     # the ONE preamble sync
+    g, lmax = int(s_host[0]), int(s_host[1])
+    if g == 0:
+        return None
+    # pow2 L bucket from 8 (NOT config.bucket_size, whose MIN_CAPACITY
+    # of 1024 would pad a 35-row group matrix 30×): O(log) compiles
+    L = 8
+    while L < lmax:
+        L <<= 1
+    if gout * L > _MAX_ELEMS:
+        return None                             # skew blow-up: host path
+
+    # ---- program B: matrices + vmapped body ----------------------------
+    fpB = ("udfB", repr(udf.body), tuple(vec_params),
+           tuple(repr(s) for s in scalars), L, gout, cap,
+           tuple(str(a.dtype) for a in sorted_args))
+    progB = _fused_cache.get(fpB)
+    if progB is None:
+        per_group = make_per_group(udf, vec_params, scalars, L,
+                                   ret_vec=False)
+
+        def fusedB(lens, starts_g_, *sargs):
+            col = jnp.clip(starts_g_[:, None]
+                           + jnp.arange(L, dtype=jnp.int32)[None, :],
+                           0, cap - 1)
+            mats = [a.astype(jnp.float64)[col] for a in sargs]
+            return jax.vmap(per_group)(lens, *mats)
+
+        try:
+            progB = jax.jit(fusedB)
+            _fused_cache[fpB] = progB
+        except _Untraceable:
+            return None
+    try:
+        out = progB(counts, starts_g, *sorted_args)
+    except _Untraceable:
+        return None
+
+    res = Table.__new__(Table)
+    res.name = f"result_{base62uuid(4)}"
+    res.columns = CaseInsensitiveDict()
+    res.sorted_by = ()
+    from aquery2_tpu.engine.executor import _derive_name
+
+    for kind, kn, alias in out_plan:
+        if kind == "key":
+            ki = key_names.index(kn)
+            _wi, shift, b = fields[ki]
+            src = cols[kn]
+            kv = ((words_g >> shift) & ((1 << b) - 1)).astype(
+                src.data.dtype) + jnp.asarray(key_mins[ki], src.data.dtype)
+            name = alias or src.name
+            res.columns[name] = Column(name, src.sqltype, kv, nrows=g,
+                                       dictionary=src.dictionary)
+        else:
+            name = alias or _derive_name(udf_call)
+            res.columns[name] = Column(name, T.DoubleT, out, nrows=g)
+
+    if sel.into_table:
+        res.name = sel.into_table
+        session.catalog.create(res, replace=True)
+    if sel.into_outfile:
+        from aquery2_tpu.storage.result import Result
+
+        Result(res).to_csv(session.resolve_path(sel.into_outfile),
+                           sep=sel.outfile_sep, header=False)
+    return res

