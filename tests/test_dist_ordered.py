@@ -73,6 +73,32 @@ def test_dist_ordered_matches_single_chip(pair, q):
             _eq(x, y, q, a, b)
 
 
+def test_dist_ordered_string_key(pair):
+    """Dictionary-coded VARCHAR group keys ride the ordered shuffle tier
+    (codes are int32 — the packing needs no translation)."""
+    rng = np.random.default_rng(5)
+    syms = ["aa", "bb", "cc", "dd"]
+    n = 8 * 300
+    rows = [(syms[int(i)], float(x)) for i, x in
+            zip(rng.integers(0, 4, n), rng.random(n).round(5))]
+    s1 = aq.connect()
+    s8 = aq.connect(mesh=8)
+    for db in (s1, s8):
+        db.execute("CREATE TABLE sv(sym VARCHAR(4), price DOUBLE)")
+        db.catalog.get("sv").append_rows(rows)
+        db.place_table(db.catalog.get("sv"))
+    q = ("SELECT sym, subvec(price, 0, 2) FROM sv "
+         "ASSUMING DESC price GROUP BY sym")
+    spmd0 = s8.stats.dist_spmd
+    r1, r8 = s1.execute(q), s8.execute(q)
+    assert s8.stats.dist_spmd == spmd0 + 1, "string-key ordered fell back"
+    rows1, rows8 = r1.rows(), r8.rows()
+    assert len(rows1) == len(rows8)
+    for a, b in zip(rows1, rows8):
+        assert a[0] == b[0]
+        assert list(a[1]) == pytest.approx(list(b[1]), rel=1e-12)
+
+
 def test_dist_median_oracle(pair):
     """Distributed median equals the NumPy oracle exactly."""
     s1, s8 = pair
