@@ -224,12 +224,13 @@ def run_udf_compare(rows: int, iters: int, verbose: bool) -> dict:
     built-in aggregate pipeline and (b) the host interpreter (measured
     at a small scale — it is per-group Python).
 
-    Scale capped at 1e6 rows / best-of-1 to bound the default bench
-    line's wall clock. Measured v5e ratios (fused-preamble tier,
-    udf_device.try_run_fused): 1.07× the fully fused built-in at 1e6
-    rows / 1e5 groups; ~14× at 1e7 rows / 1e6 groups, where the padded
-    [groups × Lmax] f64 group matrices (~1 GB) dominate — comparable to
-    the reference's compiled C++ lambda there, far ahead below it."""
+    Scale capped at 1e6 rows to bound the default bench line's wall
+    clock. Measured v5e ratio (fused-preamble tier,
+    udf_device.try_run_fused, device-queue-serialized best-of-2): ~10×
+    the fully fused built-in — the exact-f64 sequential loop body and
+    padded [groups × Lmax] matrices are the cost — comparable to the
+    reference's compiled C++ lambda, ~50-2000× its interpreter-class
+    fallbacks."""
     import aquery2_tpu as aq
     from aquery2_tpu.engine import udf_device
 
@@ -248,8 +249,8 @@ def run_udf_compare(rows: int, iters: int, verbose: bool) -> dict:
         return b
 
     out = {"rows": m}
-    out["udf_device_s"] = round(best(UDF_QUERY, 1), 4)
-    out["builtin_s"] = round(best(UDF_BUILTIN, 1), 4)
+    out["udf_device_s"] = round(best(UDF_QUERY, 2), 4)
+    out["builtin_s"] = round(best(UDF_BUILTIN, 2), 4)
     out["udf_vs_builtin"] = round(out["udf_device_s"] / out["builtin_s"], 2)
     # host interpreter at 3e4 rows (per-group Python — for the ratio)
     hs = aq.connect()
@@ -272,7 +273,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=100_000_000,
                     help="default 1e8: the BASELINE.md G1-1e8 metric scale")
-    ap.add_argument("--iters", type=int, default=3)
+    # best-of-2 by default: per-query variance at 1e8 is ≪ the tunnel's
+    # executable-load time, and the driver's wall budget is finite
+    ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--queries", type=str, default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--string-ids", action="store_true",
                     help="dictionary-encoded VARCHAR group keys like the "
@@ -338,6 +341,11 @@ def main() -> int:
     if errors:
         rec["errors"] = errors
     if not args.no_udf:
+        # free the 1e8-row tables first: leftover HBM pressure from the
+        # main suite perturbs the small UDF measurement (measured 10×
+        # run-to-run swings with the big session's buffers still live)
+        session.catalog.drop("source", if_exists=True)
+        session.catalog.drop("dim", if_exists=True)
         try:
             rec["udf"] = run_udf_compare(args.rows, args.iters, args.verbose)
         except Exception as e:  # noqa: BLE001 — never kill the bench line
