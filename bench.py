@@ -12,7 +12,7 @@ q1 .036 q2 .063 q3 2.322 q4 .159 q5 1.778 q7 .857 q10 2.669 s
 → 7e7 rows scanned / 7.884 s = 8.879e6 rows/s (hardware unspecified —
 treated as the sanity-scale baseline, see BASELINE.md).
 
-Usage: python bench.py [--rows 10000000] [--iters 3] [--queries q1,q3]
+Usage: python bench.py [--rows 100000000] [--iters 2] [--queries q1,q3]
 """
 
 from __future__ import annotations
