@@ -245,6 +245,18 @@ class Executor:
         return t
 
     def _run_select(self, sel: A.Select) -> Table:
+        # accumulation-pattern aggregation UDFs rewrite into plain
+        # aggregate expressions FIRST, so every tier below — fused,
+        # distributed, general — executes them at built-in speed
+        # (engine/udf_rewrite.py; reference simd-vectorizes the C++
+        # lambda instead, engine/ast.py:1551-1812)
+        if self.session.udfs:
+            from aquery2_tpu.engine import udf_rewrite
+
+            sel2 = udf_rewrite.rewrite_select(self.session, sel)
+            if sel2 is not None:
+                sel = sel2
+
         # fused fast path: grouped aggregation over a single table traces
         # into one XLA program (engine/fused_groupby.py); distributed
         # sessions run the SPMD variant over the mesh (engine/dist_query.py)

@@ -220,21 +220,22 @@ UDF_BUILTIN = ("SELECT id3, avg(v1 * v2) - avg(v1) * avg(v2) AS c "
 
 
 def run_udf_compare(rows: int, iters: int, verbose: bool) -> dict:
-    """Device-lowered aggregation-UDF throughput vs (a) the equivalent
-    built-in aggregate pipeline and (b) the host interpreter (measured
-    at a small scale — it is per-group Python).
+    """Aggregation-UDF throughput vs the equivalent built-in aggregate
+    pipeline at the bench scale (1e7+ per VERDICT r3 #3), plus the host
+    interpreter at a small scale (it is per-group Python).
 
-    Scale capped at 1e6 rows to bound the default bench line's wall
-    clock. Measured v5e ratio (fused-preamble tier,
-    udf_device.try_run_fused, device-queue-serialized best-of-2): ~10×
-    the fully fused built-in — the exact-f64 sequential loop body and
-    padded [groups × Lmax] matrices are the cost — comparable to the
-    reference's compiled C++ lambda, ~50-2000× its interpreter-class
-    fallbacks."""
+    The accumulation-loop body rewrites into plain aggregates
+    (engine/udf_rewrite.py), so the UDF query runs the SAME fused
+    group-by program class as the built-in formulation — the expected
+    ratio is ~1× (both are one sort + segmented-reduction lanes; the
+    UDF side carries one extra sum lane). `udf_traced_s` additionally
+    measures the traced-loop tier (udf_device.try_run_fused) that
+    non-rewritable bodies use, at ≤1e6 rows (its padded [G × Lmax]
+    matrices cap there by design, udf_device._MAX_ELEMS)."""
     import aquery2_tpu as aq
-    from aquery2_tpu.engine import udf_device
+    from aquery2_tpu.engine import udf_device, udf_rewrite
 
-    m = min(rows, 1_000_000)
+    m = min(rows, 10_000_000)
     s = aq.connect()
     make_data(s, m)
     s.execute(UDF_DDL)
@@ -252,6 +253,49 @@ def run_udf_compare(rows: int, iters: int, verbose: bool) -> dict:
     out["udf_device_s"] = round(best(UDF_QUERY, 2), 4)
     out["builtin_s"] = round(best(UDF_BUILTIN, 2), 4)
     out["udf_vs_builtin"] = round(out["udf_device_s"] / out["builtin_s"], 2)
+
+    if rows > m:
+        # full-scale point (1e8 by default): same comparison on the
+        # bench's own row count
+        sf = aq.connect()
+        make_data(sf, rows)
+        sf.execute(UDF_DDL)
+
+        def bestf(q, k):
+            sf.execute(q)
+            b = float("inf")
+            for _ in range(max(k, 1)):
+                t1 = time.perf_counter()
+                sf.execute(q)
+                b = min(b, time.perf_counter() - t1)
+            return b
+
+        out["rows_full"] = rows
+        out["udf_device_s_full"] = round(bestf(UDF_QUERY, 2), 4)
+        out["builtin_s_full"] = round(bestf(UDF_BUILTIN, 2), 4)
+        out["udf_vs_builtin_full"] = round(
+            out["udf_device_s_full"] / out["builtin_s_full"], 2)
+        sf.catalog.drop("source", if_exists=True)
+
+    # traced-loop tier (rewrite disabled): the path non-rewritable
+    # bodies take, measured at its 1e6-row matrix cap
+    mt = min(rows, 1_000_000)
+    st = aq.connect()
+    make_data(st, mt)
+    st.execute(UDF_DDL)
+    saved_rw = udf_rewrite.rewrite_select
+    udf_rewrite.rewrite_select = lambda session, sel: None
+    try:
+        stq = UDF_QUERY
+        st.execute(stq)
+        b = float("inf")
+        for _ in range(2):
+            t1 = time.perf_counter()
+            st.execute(stq)
+            b = min(b, time.perf_counter() - t1)
+        out["udf_traced_s_at_1e6"] = round(b, 4)
+    finally:
+        udf_rewrite.rewrite_select = saved_rw
     # host interpreter at 3e4 rows (per-group Python — for the ratio)
     hs = aq.connect()
     make_data(hs, 30_000)

@@ -10,7 +10,15 @@ import numpy as np
 import pytest
 
 import aquery2_tpu as aq
-from aquery2_tpu.engine import udf_device
+from aquery2_tpu.engine import udf_device, udf_rewrite
+
+
+@pytest.fixture(autouse=True)
+def _no_rewrite(monkeypatch):
+    """udfcov rewrites into plain aggregates (engine/udf_rewrite.py) and
+    would never reach the fused-UDF tier under test — disable it here."""
+    monkeypatch.setattr(udf_rewrite, "rewrite_select",
+                        lambda session, sel: None)
 
 UDFCOV = """AGGREGATION FUNCTION udfcov(x, y){
     sx := 0.; sy := 0.; sxy := 0.;
