@@ -257,6 +257,16 @@ class Executor:
             if sel2 is not None:
                 sel = sel2
 
+        # SELECT DISTINCT <plain exprs> ≡ GROUP BY those exprs (the
+        # reference hands DISTINCT to MonetDB; its own path is the
+        # record-hash set, table.h:601-614). Rewriting lets the fused
+        # single-chip tiers AND the distributed SPMD tiers execute
+        # DISTINCT with the same one-program group-by machinery; both
+        # produce the key-sorted order _distinct() would.
+        sel2 = _distinct_to_groupby(sel, self.session)
+        if sel2 is not None:
+            sel = sel2
+
         # fused fast path: grouped aggregation over a single table traces
         # into one XLA program (engine/fused_groupby.py); distributed
         # sessions run the SPMD variant over the mesh (engine/dist_query.py)
@@ -341,6 +351,17 @@ class Executor:
             if (self.session.mesh is not None and len(sel.sources) == 1
                     and isinstance(sel.sources[0], A.TableSource)
                     and sel.sources[0].name in self.session.catalog):
+                # OVER windows: shuffle-colocate partitions, run the
+                # window kernels shard-locally (engine/dist_window.py)
+                if any(isinstance(pr.expr, A.WindowExpr)
+                       for pr in sel.projections):
+                    from aquery2_tpu.engine import dist_window
+
+                    t = dist_window.try_run(
+                        self.session, sel,
+                        self.session.catalog.get(sel.sources[0].name))
+                    if t is not None:
+                        return t
                 # whole-table aggregates over the mesh: ONE psum
                 from aquery2_tpu.engine import dist_query
 
@@ -408,12 +429,19 @@ class Executor:
             if kind in ("all", "distinct"):
                 table.append_table(sub_t)
                 if kind == "distinct":
-                    table = self._distinct(table)
+                    table = self._distinct_any(table)
             else:   # EXCEPT [ALL] / INTERSECT [ALL]
-                table = self._set_op(table, sub_t, kind)
+                t2 = None
+                if self.session.mesh is not None:
+                    from aquery2_tpu.engine import dist_setop
+
+                    t2 = dist_setop.try_setop(self.session, table, sub_t,
+                                              kind)
+                table = t2 if t2 is not None \
+                    else self._set_op(table, sub_t, kind)
 
         if sel.distinct:
-            table = self._distinct(table)
+            table = self._distinct_any(table)
 
         if sel.order_by:
             table = self._apply_order(ctx, sel, table)
@@ -849,6 +877,17 @@ class Executor:
                     c.name, c.sqltype, vals, dictionary=c.dictionary)
         return out
 
+    def _distinct_any(self, table: Table) -> Table:
+        """DISTINCT of a materialized table: SPMD tuple dedupe on a mesh
+        session (engine/dist_setop.py), host group-by otherwise."""
+        if self.session.mesh is not None:
+            from aquery2_tpu.engine import dist_setop
+
+            t = dist_setop.try_distinct(self.session, table)
+            if t is not None:
+                return t
+        return self._distinct(table)
+
     def _distinct(self, table: Table) -> Table:
         """Deduplicate rows (reference `distinct` via record-hash set,
         table.h:601-614). Deterministic: output in key-sorted order."""
@@ -877,6 +916,82 @@ class Executor:
 # --------------------------------------------------------------------- #
 # helpers
 # --------------------------------------------------------------------- #
+
+def _distinct_to_groupby(sel: A.Select, session) -> A.Select | None:
+    """Rewrite SELECT DISTINCT e1,…,ek → SELECT e1,…,ek GROUP BY e1,…,ek
+    when every projection is a plain row expression (no aggregates, no
+    windows, no *). Returns the rewritten Select or None. Conservative:
+    only column refs, literals, arithmetic/comparison operators and pure
+    math calls qualify — anything order-dependent or aggregate-like
+    keeps the post-materialization _distinct() path."""
+    if (not sel.distinct or sel.group_by or sel.unions
+            or sel.having is not None or sel.assumptions
+            or not sel.sources):
+        return None
+
+    from aquery2_tpu.engine.fused_groupby import _MATH
+
+    def plain(e) -> bool:
+        if isinstance(e, (A.ColumnRef, A.Literal)):
+            return True
+        if isinstance(e, A.BinOp):
+            return plain(e.left) and plain(e.right)
+        if isinstance(e, A.UnaryOp):
+            return plain(e.operand)
+        if isinstance(e, A.Call):
+            return e.func in _MATH and all(plain(a) for a in e.args)
+        return False
+
+    # bare-literal projections stay on _distinct() (GROUP BY <literal>
+    # would read as a constant key; SELECT DISTINCT 1 must give one row)
+    if not sel.projections or any(isinstance(p.expr, (A.Star, A.Literal))
+                                  or not plain(p.expr)
+                                  for p in sel.projections):
+        return None
+
+    # every leaf source must be a catalog table, and no referenced
+    # column may be a vector (grouping over ragged cells is undefined;
+    # _distinct() raises the explicit error instead)
+    def leaves(src):
+        if isinstance(src, A.TableSource):
+            yield src
+        elif isinstance(src, A.JoinSource):
+            yield from leaves(src.left)
+            yield from leaves(src.right)
+        else:
+            yield None
+    refs: set[str] = set()
+
+    def walk(e):
+        if isinstance(e, A.ColumnRef):
+            refs.add(e.name.lower())
+        elif isinstance(e, A.BinOp):
+            walk(e.left)
+            walk(e.right)
+        elif isinstance(e, A.UnaryOp):
+            walk(e.operand)
+        elif isinstance(e, A.Call):
+            for a in e.args:
+                walk(a)
+    for p in sel.projections:
+        walk(p.expr)
+    for src in sel.sources:
+        for leaf in leaves(src):
+            if leaf is None or leaf.name not in session.catalog:
+                return None
+            t = session.catalog.get(leaf.name)
+            for nm in refs:
+                if nm in t.columns and isinstance(t.columns[nm],
+                                                  VectorColumn):
+                    return None
+    import dataclasses
+
+    group_by = []
+    for p in sel.projections:          # dedupe repeated key exprs
+        if not any(p.expr == g for g in group_by):
+            group_by.append(p.expr)
+    return dataclasses.replace(sel, distinct=False, group_by=group_by)
+
 
 def jax_segment_sum(x, seg, num_segments):
     import jax

@@ -135,7 +135,9 @@ def test_dist_path_accounting(pair):
     assert s8.stats.dist_fallback == fb0
     s8.execute("SELECT count(*) FROM g WHERE v1 > 2")   # ungrouped: SPMD too
     assert s8.stats.dist_spmd == spmd0 + 2
-    s8.execute("SELECT DISTINCT id1 FROM g")            # falls back
+    s8.execute("SELECT DISTINCT id1 FROM g")   # rewrites to GROUP BY: SPMD
+    assert s8.stats.dist_spmd == spmd0 + 3
+    s8.execute("SELECT v1, v3 FROM g ORDER BY v3 LIMIT 3")   # falls back
     assert s8.stats.dist_fallback == fb0 + 1
     assert s8.stats.dist_fallback_reasons
     assert "fallback" in s8.stats.format().lower()

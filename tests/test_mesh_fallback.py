@@ -36,14 +36,11 @@ def pair():
     return s1, s8
 
 
+# Query classes still running single-chip logic over sharded arrays.
+# (DISTINCT, OVER windows, set ops and outer joins moved OUT of this
+# list in round 4 — they now run SPMD; see test_dist_window.py,
+# test_dist_setop.py and the DISTINCT rewrite in executor.py.)
 FALLBACK_QUERIES = [
-    # DISTINCT
-    "SELECT DISTINCT k FROM f ORDER BY k",
-    # set operations
-    "SELECT k FROM f WHERE b > 15 GROUP BY k "
-    "EXCEPT SELECT k FROM f WHERE b < 5 GROUP BY k",
-    # OVER windows
-    "SELECT k, sum(v) OVER (PARTITION BY k) AS s FROM f ORDER BY k LIMIT 20",
     # plain row-projection join (no aggregation → general pipeline)
     "SELECT f.b, d.w FROM f, d WHERE f.k = d.k ORDER BY f.b, d.w LIMIT 30",
     # LIKE-free CASE expression (general eval path)
@@ -75,8 +72,19 @@ def test_mesh_fallback_equals_single_chip(pair, q):
 def test_fallbacks_are_counted(pair):
     _, s8 = pair
     fb0 = s8.stats.dist_fallback
-    s8.execute("SELECT DISTINCT k FROM f")
+    s8.execute("SELECT b, v FROM f WHERE v > 0.9 ORDER BY v LIMIT 5")
     assert s8.stats.dist_fallback == fb0 + 1
+
+
+def test_distinct_runs_spmd(pair):
+    """SELECT DISTINCT rewrites to GROUP BY and rides the distributed
+    group-by tiers (round-4; was a fallback class)."""
+    s1, s8 = pair
+    sp0 = s8.stats.dist_spmd
+    q = "SELECT DISTINCT k FROM f ORDER BY k"
+    r1, r8 = s1.execute(q), s8.execute(q)
+    assert s8.stats.dist_spmd == sp0 + 1
+    assert r1.rows() == r8.rows()
 
 
 def test_insert_then_query_on_mesh(pair):
