@@ -51,14 +51,17 @@ def try_run(session, sel: A.Select) -> Table | None:
     if sel.assumptions or sel.distinct or sel.unions:
         return None
 
-    # normalize JOIN ... ON/USING/NATURAL into the comma+WHERE form
+    # normalize JOIN ... ON/USING/NATURAL into the comma+WHERE form;
+    # RIGHT joins swap sides into LEFT (emit-unmatched-probe) form
     sources = list(sel.sources)
     extra_conds: list[A.Expr] = []
+    jkind = "inner"
     if len(sources) == 1 and isinstance(sources[0], A.JoinSource):
         js = sources[0]
         if not (isinstance(js.left, A.TableSource)
                 and isinstance(js.right, A.TableSource)
-                and js.kind in ("inner", "natural")):
+                and js.kind in ("inner", "natural", "left", "right",
+                                "full")):
             return None
         try:
             lt = session.catalog.get(js.left.name)
@@ -79,6 +82,11 @@ def try_run(session, sel: A.Select) -> Table | None:
                 op="=", left=A.ColumnRef(name=names[0], table=la),
                 right=A.ColumnRef(name=names[0], table=ra))]
         sources = [js.left, js.right]
+        if js.kind == "right":
+            sources = [js.right, js.left]
+            jkind = "left"
+        elif js.kind in ("left", "full"):
+            jkind = js.kind
     if len(sources) != 2 or not all(isinstance(s, A.TableSource)
                                     for s in sources):
         return None
@@ -107,13 +115,17 @@ def try_run(session, sel: A.Select) -> Table | None:
         hits = [i for i in (0, 1) if ref.name in tables[i].columns]
         return hits[0] if len(hits) == 1 else None
 
-    # exactly one cross-table equality link (v1)
+    # exactly one cross-table equality link (v1). For OUTER joins the
+    # link must come from the ON clause — a WHERE equality filters
+    # AFTER null-extension (it would silently turn the join inner).
     conds = extra_conds + (_split_conjuncts(sel.where)
                            if sel.where is not None else [])
     link = None
     residual = []
-    for c in conds:
-        if (link is None and isinstance(c, A.BinOp) and c.op == "="
+    for i, c in enumerate(conds):
+        linkable = jkind == "inner" or i < len(extra_conds)
+        if (link is None and linkable and isinstance(c, A.BinOp)
+                and c.op == "="
                 and isinstance(c.left, A.ColumnRef)
                 and isinstance(c.right, A.ColumnRef)):
             ls, rs = side_of(c.left), side_of(c.right)
@@ -122,6 +134,11 @@ def try_run(session, sel: A.Select) -> Table | None:
                 continue
         residual.append(c)
     if link is None:
+        return None
+    if jkind != "inner" and residual:
+        # residual predicates over null-extended rows need 3-valued
+        # WHERE logic — keep the general path (counted fallback)
+        session.note_dist_bail("outer join with residual predicates")
         return None
 
     (refa, sa), (refb, sb) = link
@@ -135,7 +152,12 @@ def try_run(session, sel: A.Select) -> Table | None:
         if lkey_col.dictionary is not rkey_col.dictionary:
             return None          # dictionary translation: general path
 
-    # rewrite refs onto the joined tmp table; collect per-side payloads
+    # rewrite refs onto the joined tmp table; collect per-side payloads.
+    # Null-extended sides: their KEY column reads as NULL on unmatched
+    # rows, but __jk always carries the preserved side's value — so a
+    # null-side key reference cannot map to __jk and bails.
+    null_sides = {"inner": frozenset(), "left": frozenset({1}),
+                  "full": frozenset({0, 1})}[jkind]
     key_names = {i: key_by_side[i].name.lower() for i in (0, 1)}
     payloads: dict[int, dict[str, str]] = {0: {}, 1: {}}
     unresolvable = []
@@ -147,6 +169,9 @@ def try_run(session, sel: A.Select) -> Table | None:
                 unresolvable.append(e)
                 return e
             if e.name.lower() == key_names[s]:
+                if s in null_sides:
+                    unresolvable.append(e)
+                    return e
                 return A.ColumnRef(name="__jk", table=None)
             mang = payloads[s].setdefault(
                 e.name.lower(), f"__{'lr'[s]}_{e.name.lower()}")
@@ -197,7 +222,8 @@ def try_run(session, sel: A.Select) -> Table | None:
     # note_spmd is left to the dist_query tier that consumes the joined
     # buffers — if it declines, the query correctly counts as a fallback
 
-    from aquery2_tpu.parallel.dist_join import dist_equijoin_safe
+    from aquery2_tpu.parallel.dist_join import (dist_equijoin_outer_safe,
+                                                dist_equijoin_safe)
     from aquery2_tpu.parallel.mesh import shard_1d
 
     axis = session.mesh_axis
@@ -212,15 +238,34 @@ def try_run(session, sel: A.Select) -> Table | None:
     blk = max(lcap, rcap) // ndev
     bucket_cap = config.bucket_size(max(2 * blk // ndev, 512))
     out_cap = config.bucket_size(max(2 * blk, 1024))
-    key_out, louts, routs, ok, pairs = dist_equijoin_safe(
-        mesh, axis, S(lkey_col.data), lvalid, lpays,
-        S(rkey_col.data), rvalid, rpays, bucket_cap, out_cap)
+    if jkind == "inner":
+        key_out, louts, routs, ok, pairs = dist_equijoin_safe(
+            mesh, axis, S(lkey_col.data), lvalid, lpays,
+            S(rkey_col.data), rvalid, rpays, bucket_cap, out_cap)
+        lnull = rnull = None
+    else:
+        key_out, louts, routs, ok, lnull, rnull, pairs = \
+            dist_equijoin_outer_safe(
+                mesh, axis, S(lkey_col.data), lvalid, lpays,
+                S(rkey_col.data), rvalid, rpays, bucket_cap, out_cap,
+                emit_left=True, emit_right=(jkind == "full"))
 
     tmp = Table.__new__(Table)
     tmp.name = "__dist_join_tmp"
     tmp.columns = CaseInsensitiveDict()
     tmp.sorted_by = ()
     cap_out = int(key_out.shape[0])
+    # Column() pads data/valid to bucket_size(cap_out); the bare
+    # shard_valid attribute must pad identically (False) or the SPMD
+    # lane masks misalign (outer-join outputs append an m-sized block
+    # per shard, so cap_out is not always already bucket-shaped)
+    padcap = config.bucket_size(cap_out)
+    if padcap != cap_out:
+        ok = jnp.pad(ok, (0, padcap - cap_out))
+        if lnull is not None:
+            lnull = jnp.pad(lnull, (0, padcap - cap_out))
+        if rnull is not None:
+            rnull = jnp.pad(rnull, (0, padcap - cap_out))
     tmp.columns["__jk"] = Column("__jk", lkey_col.sqltype, key_out,
                                  nrows=cap_out,
                                  dictionary=lkey_col.dictionary)
@@ -228,12 +273,15 @@ def try_run(session, sel: A.Select) -> Table | None:
         src = tables[0].columns[nm]
         tmp.columns[payloads[0][nm]] = Column(
             payloads[0][nm], src.sqltype, arr, nrows=cap_out,
-            dictionary=src.dictionary)
+            dictionary=src.dictionary,
+            valid=(~lnull if lnull is not None and jkind == "full"
+                   else None))
     for nm, arr in zip(rnames, routs):
         src = tables[1].columns[nm]
         tmp.columns[payloads[1][nm]] = Column(
             payloads[1][nm], src.sqltype, arr, nrows=cap_out,
-            dictionary=src.dictionary)
+            dictionary=src.dictionary,
+            valid=(~rnull if rnull is not None else None))
     tmp.shard_valid = ok
 
     new_sel = replace(
