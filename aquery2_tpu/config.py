@@ -59,6 +59,12 @@ use_pallas: bool = _flag("AQ_TPU_PALLAS", True)
 # Forced platform, if any (resolved lazily by runtime.device).
 forced_platform: str | None = os.environ.get("AQ_TPU_PLATFORM") or None
 
+# Distributed group-by partial merge: "owner" (default — hash(key)→owner
+# all_to_all of compacted partials, each group re-reduced on ONE shard,
+# wire O(partials + G)) or "replicated" (all-gather padded partials to
+# every device; simpler, O(ndev·partials) wire; kept for A/B).
+dist_merge: str = os.environ.get("AQ_TPU_DIST_MERGE", "owner")
+
 # Minimum padded capacity for a device column. Multiples of 1024 keep the
 # (8,128)/(16,128) TPU tile constraints satisfied after any reshape to 2D.
 MIN_CAPACITY = 1024

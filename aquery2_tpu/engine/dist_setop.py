@@ -164,7 +164,7 @@ def _build(kind: str, mesh, axis, ndev, blk, bcap, ncols):
             total = nl_ + nr_
             valid = gidx < total
             h = hashing.combine_hashes(
-                [hashing.hash64(_bits64(b)) for b in blocks])
+                [hashing.hash64(hashing.bits64(b)) for b in blocks])
             dest_key = h.astype(jnp.int64) & jnp.int64(2**62 - 1)
             kb, pb, okb, ndrop = _pack_buckets_multi(
                 dest_key, [gidx, *blocks], valid, ndev, bcap)
@@ -220,17 +220,6 @@ def _build(kind: str, mesh, axis, ndev, blk, bcap, ncols):
         return local(nl, nr, *arrs)
 
     return jax.jit(fused)
-
-
-def _bits64(x: jax.Array) -> jax.Array:
-    if x.dtype.kind == "f":
-        if x.dtype == jnp.float64:
-            return jax.lax.bitcast_convert_type(x, jnp.int64)
-        return jax.lax.bitcast_convert_type(
-            x.astype(jnp.float32), jnp.int32).astype(jnp.int64)
-    if x.dtype == jnp.bool_:
-        return x.astype(jnp.int64)
-    return x.astype(jnp.int64)
 
 
 def try_setop(session, left: Table, right: Table, kind: str) -> Table | None:

@@ -693,6 +693,76 @@ def narrow_sum_tags(scatters, cols, cap: int) -> frozenset:
     return frozenset(out)
 
 
+def sentinel_code_null_keys(p, table):
+    """Nullable GROUP BY key columns → sentinel-coded substitute table
+    (VERDICT r3 missing #4). SQL groups all NULL keys together, distinct
+    from every real value: code NULL as (non-null max)+1 in a shallow
+    table copy so every fused/distributed tier's key packing works
+    unchanged, and remember the sentinel so _finish can restore the
+    NULL mask on the output key column (the general path's
+    _null_key_sentinel, executor.py, moved in front of the fast tiers).
+
+    Returns (table', {key_name: sentinel}) or None when substitution
+    does not apply (no nullable keys, non-int keys, sentinel overflow,
+    or the key column is ALSO referenced outside the key position —
+    WHERE/aggregate reads need real 3-valued logic, not a sentinel)."""
+    cols = table.columns
+    key_names = [k.name.lower() for k in p["keys"]
+                 if isinstance(k, A.ColumnRef)]
+    if len(key_names) != len(p["keys"]):
+        return None
+    nullable_keys = [kn for kn in key_names
+                     if kn in cols
+                     and getattr(cols[kn], "valid", None) is not None]
+    if not nullable_keys:
+        return None
+    # the key column must not feed anything except the key itself
+    other_refs: set[str] = set()
+    for kindp, expr, _ in p["projections"]:
+        if kindp != "key":
+            other_refs |= _refs(expr)
+    if p["where"] is not None:
+        other_refs |= _refs(p["where"])
+    if p.get("having") is not None:
+        other_refs |= _refs(p["having"])
+    for an, _asc in p.get("assume", ()):
+        other_refs.add(an)
+    if other_refs & set(nullable_keys):
+        return None
+
+    sents: dict[str, int] = {}
+    new_cols = []
+    for c in table.columns.values():
+        nm = c.name.lower()
+        if nm not in nullable_keys:
+            new_cols.append(c)
+            continue
+        if c.data.dtype.kind not in "iu":
+            return None
+        mn, mx = c.stats()
+        if mn > mx:            # all-NULL column: stats are sentinels
+            mn, mx = 0, 0
+        sent = int(mx) + 1
+        if sent > jnp.iinfo(c.data.dtype).max:
+            return None
+        coded = jnp.where(c.valid, c.data,
+                          jnp.asarray(sent, c.data.dtype))
+        nc = Column(c.name, c.sqltype, coded, nrows=c.nrows,
+                    dictionary=c.dictionary)
+        nc._stats = (int(mn), sent)
+        new_cols.append(nc)
+        sents[nm] = sent
+    t2 = Table.__new__(Table)
+    t2.name = table.name
+    t2.columns = CaseInsensitiveDict()
+    t2.sorted_by = table.sorted_by
+    for c in new_cols:
+        t2.columns[c.name] = c
+    if getattr(table, "shard_valid", None) is not None:
+        t2.shard_valid = table.shard_valid
+    return t2, sents
+
+
 def make_null_fn(env_null):
     """null_fn for _build_lanes: arg exprs → OR of referenced columns'
     NULL masks (arithmetic/comparison over NULL is NULL), or None."""
@@ -716,10 +786,17 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
     except Unsupported:
         return None
 
-    cols = table.columns
     n = table.nrows
     if n == 0:
         return None
+
+    # nullable GROUP BY keys: sentinel-code into a substitute table so
+    # every tier below sees plain non-null keys (_finish restores the
+    # NULL-group mask from p["key_sentinels"])
+    sub = sentinel_code_null_keys(p, table)
+    if sub is not None:
+        table, p["key_sentinels"] = sub
+    cols = table.columns
 
     # Key stats → packed-code domain → strategy choice (shared with the
     # distributed executor, engine/dist_query.py)
@@ -876,6 +953,7 @@ def _finish(session, p, cols, results, g, having=None):
     out.columns = CaseInsensitiveDict()
     out.sorted_by = ()
     used: dict[str, int] = {}
+    sents = p.get("key_sentinels") or {}
     for (kindp, expr, alias), arr in zip(p["projections"], results):
         name = alias or _derive_name(expr)
         lk = name.lower()
@@ -886,8 +964,14 @@ def _finish(session, p, cols, results, g, having=None):
             used[lk] = 0
         if kindp == "key" and isinstance(expr, A.ColumnRef):
             src = cols[expr.name]
+            valid = None
+            sent = sents.get(expr.name.lower())
+            if sent is not None:        # restore the NULL-group key
+                valid = arr != jnp.asarray(sent, arr.dtype)
+                arr = jnp.where(valid, arr, jnp.zeros((), arr.dtype))
             out.columns[name] = Column(name, src.sqltype, arr, nrows=g,
-                                       dictionary=src.dictionary)
+                                       dictionary=src.dictionary,
+                                       valid=valid)
         else:
             st = (T.from_np_dtype(np.dtype(arr.dtype))
                   if arr.dtype != jnp.bool_ else T.BoolT)

@@ -63,6 +63,19 @@ def hash64(x: jax.Array) -> jax.Array:
     return z ^ (z >> 31)
 
 
+def bits64(x: jax.Array) -> jax.Array:
+    """Lossless int64 bit view of any lane for hashing (floats bitcast;
+    -0.0 is the caller's job to canonicalize if +0.0 must collide)."""
+    if x.dtype.kind == "f":
+        if x.dtype == jnp.float64:
+            return jax.lax.bitcast_convert_type(x, jnp.int64)
+        return jax.lax.bitcast_convert_type(
+            x.astype(jnp.float32), jnp.int32).astype(jnp.int64)
+    if x.dtype == jnp.bool_:
+        return x.astype(jnp.int64)
+    return x.astype(jnp.int64)
+
+
 def combine_hashes(hs: list[jax.Array]) -> jax.Array:
     """Order-dependent combination of per-column hashes (reference hasher
     combines via FNV-style folding, hasher.h:66-95)."""

@@ -123,12 +123,39 @@ def test_single_chip_fused_null_matches_general(null_pair, monkeypatch):
                 assert x == y
 
 
-def test_nullable_key_still_general(null_pair):
-    """Nullable GROUP BY keys stay on the general path (one NULL group)."""
+def test_nullable_key_fused_and_distributed(null_pair):
+    """Nullable GROUP BY keys sentinel-code through the fused AND the
+    distributed tiers (round 4; previously forced the general path).
+    All NULL keys form ONE group, reported as NULL."""
     s1, s8 = null_pair
-    s1.execute("CREATE TABLE nk(a INT, b INT)")
-    s1.execute("INSERT INTO nk VALUES (1, 10), (NULL, 5), (NULL, 7), (1, 3)")
-    r = s1.execute("SELECT a, sum(b) FROM nk GROUP BY a")
+    for db in (s1, s8):
+        if "nk" in db.catalog:
+            continue
+        db.execute("CREATE TABLE nk(a INT, b INT)")
+        db.execute("INSERT INTO nk VALUES (1, 10), (NULL, 5), (NULL, 7), "
+                   "(1, 3), (2, 4)")
+        rows = [(i % 5 if i % 7 else None, i % 11) for i in range(4000)]
+        db.catalog.get("nk").append_rows(rows)
+        db.place_table(db.catalog.get("nk"))
+    q = "SELECT a, sum(b), count(*) FROM nk GROUP BY a ORDER BY a"
+    sp0 = s8.stats.dist_spmd
+    r1, r8 = s1.execute(q).rows(), s8.execute(q).rows()
+    assert s8.stats.dist_spmd == sp0 + 1, "mesh session fell back"
+    assert r1 == r8
+    got = {row[0]: (row[1], row[2]) for row in r1}
+    assert None in got and got[None][1] == 2 + sum(
+        1 for i in range(4000) if i % 7 == 0)
+
+
+def test_nullable_key_general_oracle(null_pair):
+    """The sentinel-coded fused result equals the 3-valued general
+    executor's (force the general path by monkey-free subquery shape)."""
+    s1, _ = null_pair
+    if "nk2" not in s1.catalog:
+        s1.execute("CREATE TABLE nk2(a INT, b INT)")
+        s1.execute("INSERT INTO nk2 VALUES (1, 10), (NULL, 5), (NULL, 7), "
+                   "(1, 3)")
+    r = s1.execute("SELECT a, sum(b) FROM nk2 GROUP BY a")
     got = {row[0]: row[1] for row in r.rows()}
     assert got == {1: 13, None: 12}
 
