@@ -63,6 +63,23 @@ def _shuffle(word, payloads, valid, axis, ndev, bcap):
             a2a(okb).reshape(-1), ndrop)
 
 
+def _window_over_nullable(e, nullable) -> bool:
+    """True if e contains a windowed call referencing a nullable column."""
+    from aquery2_tpu.engine import fused_ordered as fo
+
+    if fo._is_window_call(e) and fg._refs(e) & nullable:
+        return True
+    if isinstance(e, A.BinOp):
+        return (_window_over_nullable(e.left, nullable)
+                or _window_over_nullable(e.right, nullable))
+    if isinstance(e, A.UnaryOp):
+        return _window_over_nullable(e.operand, nullable)
+    if isinstance(e, A.Call):
+        return any(_window_over_nullable(a, nullable) for a in e.args
+                   if not isinstance(a, A.Star))
+    return False
+
+
 def _prep(session, sel, table, p, need_packed_median):
     """Shared gating + layout planning. Returns the layout dict or None
     (bail reason already reported)."""
@@ -79,9 +96,38 @@ def _prep(session, sel, table, p, need_packed_median):
         session.note_dist_bail("empty table")
         return None
     col_order = fg.referenced_columns(sel, p)
-    if table.has_nulls(col_order):
-        session.note_dist_bail("NULL columns in distributed ordered tier")
-        return None
+
+    # NULL-able AGGREGATE-ARGUMENT columns ride in-program (their
+    # validity masks shuffle + sort alongside the data; per-agg :cnt
+    # lanes via fg._build_lanes null_fn — VERDICT r3 weak #3). Keys,
+    # ASSUMING columns, WHERE and windowed row expressions over NULLs
+    # still bail (3-valued / order semantics stay on the general path).
+    nullable = {nm for nm in col_order
+                if nm in cols and getattr(cols[nm], "valid", None)
+                is not None}
+    if nullable:
+        _n2, bail = fg.nullable_gate(p, cols, col_order)
+        if bail:
+            session.note_dist_bail(bail)
+            return None
+        for an, _asc in p.get("assume", ()):
+            if an in nullable:
+                session.note_dist_bail("nullable ASSUMING column")
+                return None
+        for kindp, expr, _ in p["projections"]:
+            if kindp == "row" and fg._refs(expr) & nullable:
+                session.note_dist_bail(
+                    "nullable column in windowed row projection")
+                return None
+        # windowed calls INSIDE agg args (avg(sums(x))): a NULL poisons
+        # the running window from its row on — order-dependent NULL
+        # propagation stays on the general path
+        if any(_window_over_nullable(a, nullable)
+               for _fp, (_k, cargs) in fg._needed_scatters(p["aggs"]).items()
+               for a in cargs if not isinstance(a, A.Star)):
+            session.note_dist_bail("nullable column in windowed agg arg")
+            return None
+    null_order = sorted(nullable)
 
     key_names = [k.name.lower() for k in p["keys"]
                  if isinstance(k, A.ColumnRef)]
@@ -103,14 +149,16 @@ def _prep(session, sel, table, p, need_packed_median):
         return None
     fields, _nwords = plan_w
 
-    arrays = [cols[nm].data for nm in col_order]
+    arrays = ([cols[nm].data for nm in col_order]
+              + [cols[nm].valid for nm in null_order])
     cap = int(arrays[0].shape[0])
     if cap % ndev:
         session.note_dist_bail("capacity not divisible by mesh size")
         return None
     blk = cap // ndev
     return {"mesh": mesh, "axis": axis, "ndev": ndev, "cols": cols, "n": n,
-            "col_order": col_order, "arrays": arrays, "cap": cap,
+            "col_order": col_order, "null_order": null_order,
+            "arrays": arrays, "cap": cap,
             "blk": blk, "key_names": key_names, "key_mins": key_mins,
             "key_ranges": key_ranges, "fields": fields}
 
@@ -130,6 +178,7 @@ def run_median(session, sel: A.Select, table: Table, p) -> Table | None:
     mesh, axis, ndev = lay["mesh"], lay["axis"], lay["ndev"]
     cols, n, blk = lay["cols"], lay["n"], lay["blk"]
     col_order, arrays = lay["col_order"], lay["arrays"]
+    null_order = lay["null_order"]
     key_names, key_mins = lay["key_names"], lay["key_mins"]
     key_ranges, fields = lay["key_ranges"], lay["fields"]
     scatters = fg._needed_scatters(p["aggs"])
@@ -151,12 +200,14 @@ def run_median(session, sel: A.Select, table: Table, p) -> Table | None:
                        repr([pr[1] for pr in p["projections"]]),
                        repr(p["where"]), repr(p["having"]),
                        tuple(key_mins), tuple(key_ranges),
+                       tuple(null_order),
                        tuple((a.shape[0], str(a.dtype)) for a in arrays))
         entry = _cache.get(fingerprint)
         if entry is None:
-            entry = _build_median(p, col_order, key_names, key_mins,
-                                  fields, key_dtypes, scatters, mesh, axis,
-                                  ndev, blk, bcap, lgcap, gcap, sentinel)
+            entry = _build_median(p, col_order, null_order, key_names,
+                                  key_mins, fields, key_dtypes, scatters,
+                                  mesh, axis, ndev, blk, bcap, lgcap, gcap,
+                                  sentinel)
             _cache[fingerprint] = entry
         session._last_spmd = (entry, (n, *sharded))   # comm accounting
         results, ng, dropped = entry(n, *sharded)
@@ -175,9 +226,9 @@ def run_median(session, sel: A.Select, table: Table, p) -> Table | None:
     return fg._finish(session, p, cols, results, g, having=hv)
 
 
-def _build_median(p, col_order, key_names, key_mins, fields, key_dtypes,
-                  scatters, mesh, axis, ndev, blk, bcap, lgcap, gcap,
-                  sentinel):
+def _build_median(p, col_order, null_order, key_names, key_mins, fields,
+                  key_dtypes, scatters, mesh, axis, ndev, blk, bcap, lgcap,
+                  gcap, sentinel):
     med_fps = [fp for fp, (kind, _) in scatters.items() if kind == "median"]
 
     def fused(nn, *arrs):
@@ -189,7 +240,10 @@ def _build_median(p, col_order, key_names, key_mins, fields, key_dtypes,
         def local(nn_, *blocks):
             d = jax.lax.axis_index(axis).astype(jnp.int32)
             idx = d * blk + jnp.arange(blk, dtype=jnp.int32)
-            env = dict(zip(col_order, blocks))
+            ncols = len(col_order)
+            env = dict(zip(col_order, blocks[:ncols]))
+            env_null0 = {nm: ~v
+                         for nm, v in zip(null_order, blocks[ncols:])}
             valid = idx < nn_
             if p["where"] is not None:
                 w = fg._row_eval(p["where"], env)
@@ -201,6 +255,11 @@ def _build_median(p, col_order, key_names, key_mins, fields, key_dtypes,
             med_rows = ([fg._row_eval(scatters[med_fps[0]][1][0], env)]
                         if med_fps else [])
             carrier_keys, carrier_rows = fg._collect_carriers(scatters, env)
+            # NULL masks of nullable agg-arg columns ride the shuffle +
+            # sort; per-agg non-null :cnt lanes via _build_lanes null_fn
+            for nm in null_order:
+                carrier_keys.append("\0null:" + nm)
+                carrier_rows.append(env_null0[nm])
 
             wr, payr, okr, ndrop = _shuffle(
                 word, med_rows + carrier_rows, valid, axis, ndev, bcap)
@@ -215,13 +274,16 @@ def _build_median(p, col_order, key_names, key_mins, fields, key_dtypes,
             sw = sorted_res[0]
             med_sorted = sorted_res[1:nk]
             carriers_s = dict(zip(carrier_keys, sorted_res[nk:]))
+            null_fn = (fg.make_null_fn({nm: carriers_s["\0null:" + nm]
+                                        for nm in null_order})
+                       if null_order else None)
             valid_s = sw < sentinel
             dif = sw[1:] != sw[:-1]
             starts = jnp.concatenate([jnp.ones((1,), jnp.bool_), dif])
             last = jnp.concatenate([dif, jnp.ones((1,), jnp.bool_)]) & valid_s
             add_s, mins_s, maxs_s, f64s_s = fg._build_lanes(
                 {}, valid_s, scatters,
-                eval_fn=lambda e: carriers_s[repr(e)])
+                eval_fn=lambda e: carriers_s[repr(e)], null_fn=null_fn)
             add_s.pop("__counts__")
             from aquery2_tpu.ops import reduce as R
             outs, ends_idx, lng = R.sorted_group_reduce(
@@ -373,10 +435,12 @@ def run_ordered(session, sel: A.Select, table: Table) -> Table | None:
                        repr([pr[1] for pr in p["projections"]]),
                        repr(p["where"]),
                        tuple(key_mins), tuple(key_ranges),
+                       tuple(lay["null_order"]),
                        tuple((a.shape[0], str(a.dtype)) for a in arrays))
         entry = _cache.get(fingerprint)
         if entry is None:
-            entry = _build_ordered(p, col_order, key_names, key_mins,
+            entry = _build_ordered(p, col_order, lay["null_order"],
+                                   key_names, key_mins,
                                    fields, scatters, mesh, axis, ndev, blk,
                                    bcap, lgcap, sentinel)
             _cache[fingerprint] = entry
@@ -423,10 +487,12 @@ def _run_ordered_dense(session, sel: A.Select, table: Table, p):
                        repr([pr[1] for pr in p["projections"]]),
                        repr(p["where"]),
                        tuple(key_mins), tuple(key_ranges),
+                       tuple(lay["null_order"]),
                        tuple((a.shape[0], str(a.dtype)) for a in arrays))
         entry = _cache.get(fingerprint)
         if entry is None:
-            entry = _build_ordered_dense(p, col_order, key_names, key_mins,
+            entry = _build_ordered_dense(p, col_order, lay["null_order"],
+                                         key_names, key_mins,
                                          fields, key_dtypes, scatters,
                                          mesh, axis, ndev, blk, bcap,
                                          lgcap, gcap, sentinel)
@@ -444,9 +510,9 @@ def _run_ordered_dense(session, sel: A.Select, table: Table, p):
                                  int(ng))
 
 
-def _build_ordered_dense(p, col_order, key_names, key_mins, fields,
-                         key_dtypes, scatters, mesh, axis, ndev, blk, bcap,
-                         lgcap, gcap, sentinel):
+def _build_ordered_dense(p, col_order, null_order, key_names, key_mins,
+                         fields, key_dtypes, scatters, mesh, axis, ndev,
+                         blk, bcap, lgcap, gcap, sentinel):
     from aquery2_tpu.engine import fused_ordered as fo
     from aquery2_tpu.ops import segment
 
@@ -468,7 +534,9 @@ def _build_ordered_dense(p, col_order, key_names, key_mins, fields,
         def local(nn_, *blocks):
             d = jax.lax.axis_index(axis).astype(jnp.int32)
             idx0 = d * blk + jnp.arange(blk, dtype=jnp.int32)
-            env0 = dict(zip(col_order, blocks))
+            ncols = len(col_order)
+            env0 = dict(zip(col_order, blocks[:ncols]))
+            nulls0 = [~v for v in blocks[ncols:]]   # NULL masks
             valid0 = idx0 < nn_
             if p["where"] is not None:
                 w = fg._row_eval(p["where"], env0)
@@ -477,10 +545,11 @@ def _build_ordered_dense(p, col_order, key_names, key_mins, fields,
                 valid0 = valid0 & w
             word = _word_pack(env0, valid0, key_names, key_mins, fields,
                               blk)
-            payload = [env0[nm] for nm in col_order]
+            payload = [env0[nm] for nm in col_order] + nulls0
             wr, payr, okr, ndrop = _shuffle(word, payload, valid0, axis,
                                             ndev, bcap)
-            env = dict(zip(col_order, payr))
+            env = dict(zip(col_order, payr[:ncols]))
+            nulls_r = payr[ncols:]
             valid = okr
             wmask = jnp.where(valid, wr, sentinel)
 
@@ -494,11 +563,16 @@ def _build_ordered_dense(p, col_order, key_names, key_mins, fields,
                                      jnp.asarray(fg._sentinel_max(a.dtype),
                                                  a.dtype)))
             res = jax.lax.sort(
-                [*ops, idx, valid, *[env[nm] for nm in col_order]],
+                [*ops, idx, valid, *[env[nm] for nm in col_order],
+                 *nulls_r],
                 num_keys=len(ops) + 1, is_stable=False)
             sw = res[0]
             valid_s = res[len(ops) + 1]
-            env_sorted = dict(zip(col_order, res[len(ops) + 2:]))
+            env_sorted = dict(zip(col_order,
+                                  res[len(ops) + 2: len(ops) + 2 + ncols]))
+            null_fn = (fg.make_null_fn(
+                dict(zip(null_order, res[len(ops) + 2 + ncols:])))
+                if null_order else None)
             prev = jnp.concatenate([sw[:1], sw[:-1]])
             diff = (sw != prev).at[0].set(True)
             flags = diff & valid_s
@@ -513,7 +587,7 @@ def _build_ordered_dense(p, col_order, key_names, key_mins, fields,
                 [diff[1:], jnp.ones((1,), jnp.bool_)]) & valid_s
             outs, _ends, _ng2 = fo._sorted_reduce(
                 eval_sorted, valid_s, diff, last, lgcap, scatters,
-                extract={"__w": sw})
+                extract={"__w": sw}, null_fn=null_fn)
             counts = outs["__counts__"]
             slot_ok = jnp.arange(lgcap, dtype=jnp.int32) < ng
             counts_ok = jnp.where(slot_ok, counts.astype(jnp.int32), 0)
@@ -649,8 +723,8 @@ def _finish_ordered_dense(session, p, cols, results, kepts, denses, g):
     return out
 
 
-def _build_ordered(p, col_order, key_names, key_mins, fields, scatters,
-                   mesh, axis, ndev, blk, bcap, lgcap, sentinel):
+def _build_ordered(p, col_order, null_order, key_names, key_mins, fields,
+                   scatters, mesh, axis, ndev, blk, bcap, lgcap, sentinel):
     from aquery2_tpu.engine import fused_ordered as fo
     from aquery2_tpu.ops import segment
 
@@ -670,7 +744,9 @@ def _build_ordered(p, col_order, key_names, key_mins, fields, scatters,
         def local(nn_, *blocks):
             d = jax.lax.axis_index(axis).astype(jnp.int32)
             idx0 = d * blk + jnp.arange(blk, dtype=jnp.int32)
-            env0 = dict(zip(col_order, blocks))
+            ncols = len(col_order)
+            env0 = dict(zip(col_order, blocks[:ncols]))
+            nulls0 = [~v for v in blocks[ncols:]]   # NULL masks
             valid0 = idx0 < nn_
             if p["where"] is not None:
                 w = fg._row_eval(p["where"], env0)
@@ -679,10 +755,11 @@ def _build_ordered(p, col_order, key_names, key_mins, fields, scatters,
                 valid0 = valid0 & w
             word = _word_pack(env0, valid0, key_names, key_mins, fields,
                               blk)
-            payload = [env0[nm] for nm in col_order]
+            payload = [env0[nm] for nm in col_order] + nulls0
             wr, payr, okr, ndrop = _shuffle(word, payload, valid0, axis,
                                             ndev, bcap)
-            env = dict(zip(col_order, payr))
+            env = dict(zip(col_order, payr[:ncols]))
+            nulls_r = payr[ncols:]
             valid = okr
             wmask = jnp.where(valid, wr, sentinel)
 
@@ -698,11 +775,16 @@ def _build_ordered(p, col_order, key_names, key_mins, fields, scatters,
                                      jnp.asarray(fg._sentinel_max(a.dtype),
                                                  a.dtype)))
             res = jax.lax.sort(
-                [*ops, idx, valid, *[env[nm] for nm in col_order]],
+                [*ops, idx, valid, *[env[nm] for nm in col_order],
+                 *nulls_r],
                 num_keys=len(ops) + 1, is_stable=False)
             sw = res[0]
             valid_s = res[len(ops) + 1]
-            env_sorted = dict(zip(col_order, res[len(ops) + 2:]))
+            env_sorted = dict(zip(col_order,
+                                  res[len(ops) + 2: len(ops) + 2 + ncols]))
+            null_fn = (fg.make_null_fn(
+                dict(zip(null_order, res[len(ops) + 2 + ncols:])))
+                if null_order else None)
             prev = jnp.concatenate([sw[:1], sw[:-1]])
             diff = (sw != prev).at[0].set(True)
             flags = diff & valid_s
@@ -716,7 +798,7 @@ def _build_ordered(p, col_order, key_names, key_mins, fields, scatters,
                 [diff[1:], jnp.ones((1,), jnp.bool_)]) & valid_s
             outs, _ends, _ng2 = fo._sorted_reduce(
                 eval_sorted, valid_s, diff, last, lgcap, scatters,
-                extract={"__w": sw})
+                extract={"__w": sw}, null_fn=null_fn)
             counts = outs["__counts__"]
             slot_ok = jnp.arange(lgcap, dtype=jnp.int32) < ng
             counts_ok = jnp.where(slot_ok, counts.astype(jnp.int32), 0)

@@ -236,9 +236,13 @@ def run_ungrouped(session, sel: A.Select, table: Table) -> Table | None:
     blk = cap // ndev
     session.note_spmd()
 
+    lbounds = fg.lane_bounds(scatters, cols)
+    from aquery2_tpu.ops.reduce import _digits_for_bound
+    bounds_fp = tuple(sorted((t, _digits_for_bound(b))
+                             for t, b in lbounds.items()))
     fingerprint = ("dist-ungrouped", ndev, has_sv,
                    repr([pr[1] for pr in projections]), repr(sel.where),
-                   tuple(null_order),
+                   tuple(null_order), bounds_fp,
                    tuple((a.shape[0], str(a.dtype)) for a in arrays))
     entry = _cache.get(fingerprint)
     if entry is None:
@@ -262,7 +266,7 @@ def run_ungrouped(session, sel: A.Select, table: Table) -> Table | None:
                     valid = valid & w
                 code = jnp.where(valid, 0, 1).astype(jnp.int32)
                 outs = fg._scatter_aggs(env, valid, code, 1, scatters,
-                                        null_fn=null_fn)
+                                        null_fn=null_fn, bounds=lbounds)
                 return _combine_psum(outs, axis)
 
             outs = local(nn, *arrs)
@@ -297,6 +301,10 @@ def _run_dense(session, table, p, col_order, arrays, fingerprint, n,
     gcap = config.bucket_size(dom)
     key_dtypes = [cols[kn].data.dtype for kn in key_names]
 
+    lbounds = fg.lane_bounds(scatters, cols)
+    from aquery2_tpu.ops.reduce import _digits_for_bound
+    fingerprint = fingerprint + (tuple(sorted(
+        (t, _digits_for_bound(b)) for t, b in lbounds.items())),)
     entry = _cache.get(fingerprint)
     if entry is None:
         nspec = len(arrays)
@@ -324,7 +332,7 @@ def _run_dense(session, table, p, col_order, arrays, fingerprint, n,
                     code = part if code is None else code + part
                 code = jnp.where(valid, code, dom).astype(jnp.int32)
                 outs = fg._scatter_aggs(env, valid, code, dom, scatters,
-                                        null_fn=null_fn)
+                                        null_fn=null_fn, bounds=lbounds)
                 return _combine_psum(outs, axis)
 
             outs = local(nn, *arrs)

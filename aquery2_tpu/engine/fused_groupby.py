@@ -299,8 +299,9 @@ def _gathered_sum(gathered, tag):
 
 
 def _make_stage1(key_names, key_mins, key_ranges, scatters, where,
-                 acc_int_dtype, sum_dtype_for):
-    """Build the rows→dense-accumulators traced function."""
+                 acc_int_dtype, sum_dtype_for, bounds=None):
+    """Build the rows→dense-accumulators traced function. bounds:
+    lane_bounds stats (shrinks the MXU tier's digit lanes)."""
 
     strides = []
     s = 1
@@ -334,7 +335,7 @@ def _make_stage1(key_names, key_mins, key_ranges, scatters, where,
         code = jnp.where(valid, code, domain).astype(jnp.int32)
 
         outs = _scatter_aggs(env, valid, code, domain, scatters,
-                             null_fn=null_fn)
+                             null_fn=null_fn, bounds=bounds)
         present = outs["__counts__"][:domain] > 0
         num_groups = jnp.sum(present, dtype=jnp.int32)
         return outs, num_groups
@@ -441,21 +442,24 @@ def _build_lanes(env, valid, scatters, eval_fn=None, null_fn=None):
 
 
 def _scatter_aggs(env, valid, code, domain, scatters,
-                  eval_fn=None, lanes=None, null_fn=None) -> dict[str, jax.Array]:
+                  eval_fn=None, lanes=None, null_fn=None,
+                  bounds=None) -> dict[str, jax.Array]:
     """Reduce every needed aggregate into (domain+1,) dense accumulators
     via ops.reduce.segment_reduce (one-hot MXU matmul for small domains,
     per-lane 1-D scatters otherwise).
 
     code: per-row slot (invalid rows must carry `domain`). lanes: pre-
     built/permuted lane dicts (the sort strategy carries lanes through
-    lax.sort instead of gathering)."""
+    lax.sort instead of gathering). bounds: lane_bounds stats (shrinks
+    MXU digit lanes)."""
     from aquery2_tpu.ops import reduce as R
 
     if lanes is None:
         lanes = _build_lanes(env, valid, scatters, eval_fn=eval_fn,
                              null_fn=null_fn)
     add, mins, maxs, f64s = lanes
-    outs = R.segment_reduce(code, add, mins, maxs, f64s, domain)
+    outs = R.segment_reduce(code, add, mins, maxs, f64s, domain,
+                            bounds=bounds)
     outs["__counts__"] = outs["__counts__"].astype(jnp.int32)
     return outs
 
@@ -693,6 +697,99 @@ def narrow_sum_tags(scatters, cols, cap: int) -> frozenset:
     return frozenset(out)
 
 
+def _expr_bound(e, cols) -> int | None:
+    """Conservative max |value| of a row expression from column stats,
+    or None when unanalyzable. Float column stats are int-truncated
+    (table.py stats) — widen by 1 to cover the fraction."""
+    if isinstance(e, A.ColumnRef):
+        c = cols.get(e.name) if hasattr(cols, "get") else None
+        if c is None or getattr(c, "is_vector", False):
+            return None
+        if c.data.dtype.kind not in "iubf":
+            return None
+        mn, mx = c.stats()
+        b = max(abs(int(mn)), abs(int(mx)))
+        return b + 1 if c.data.dtype.kind == "f" else b
+    if isinstance(e, A.Literal) and isinstance(e.value, (int, float)):
+        import math
+        return int(math.ceil(abs(e.value)))
+    if isinstance(e, A.UnaryOp) and e.op == "-":
+        return _expr_bound(e.operand, cols)
+    if isinstance(e, A.BinOp) and e.op in ("+", "-", "*"):
+        bl = _expr_bound(e.left, cols)
+        br = _expr_bound(e.right, cols)
+        if bl is None or br is None:
+            return None
+        return bl * br if e.op == "*" else bl + br
+    return None
+
+
+def lane_bounds(scatters, cols) -> dict[str, int]:
+    """tag → max |value| for the additive lanes _build_lanes emits,
+    from column stats (mirrors its tag naming). ops.reduce._mxu_reduce
+    uses these to shrink digit-lane counts: q1's sum(v1), v1 ∈ [1,5],
+    needs 1 base-128 digit, not the worst-case 5 (VERDICT r3 weak #5 —
+    the dense tier's scan step is payload-width-bound)."""
+    out: dict[str, int] = {}
+
+    def put_float(tag: str, b: int) -> None:
+        # add_float: coarse limb #A = round(v · 2^14)
+        out[tag + "#A"] = b * (1 << 14) + 1
+
+    for fp, (kind, args) in scatters.items():
+        if kind in ("median", "count"):
+            continue
+        if kind == "corr":
+            bx = _expr_bound(args[0], cols)
+            by = _expr_bound(args[1], cols)
+            if bx is None or by is None:
+                continue
+            x_int = _arg_is_int(args[0], cols)
+            y_int = _arg_is_int(args[1], cols)
+            if x_int and y_int:
+                out[fp + ":sx"] = bx
+                out[fp + ":sy"] = by
+                out[fp + ":sxy"] = bx * by
+                out[fp + ":sx2"] = bx * bx
+                out[fp + ":sy2"] = by * by
+            else:
+                put_float(fp + ":sx", bx)
+                put_float(fp + ":sy", by)
+                put_float(fp + ":sxy", bx * by)
+                put_float(fp + ":sx2", bx * bx)
+                put_float(fp + ":sy2", by * by)
+            continue
+        b = _expr_bound(args[0], cols) if args else None
+        if b is None:
+            continue
+        is_int = _arg_is_int(args[0], cols)
+        if kind in ("sum", "avg", "mean"):
+            if is_int:
+                out[fp + ":sum"] = b
+            else:
+                put_float(fp + ":sum", b)
+        if kind in ("var", "stddev"):
+            if is_int:
+                out[fp + ":sum"] = b
+                out[fp + ":ssq"] = b * b
+            else:
+                put_float(fp + ":sum", b)
+                put_float(fp + ":ssq", b * b)
+    return out
+
+
+def _arg_is_int(e, cols) -> bool:
+    """Whether _build_lanes treats this agg argument as an integer lane
+    (matches its v.dtype.kind checks via the referenced columns)."""
+    for nm in _refs(e):
+        c = cols.get(nm) if hasattr(cols, "get") else None
+        if c is not None and c.data.dtype.kind == "f":
+            return False
+    if isinstance(e, A.Literal) and isinstance(e.value, float):
+        return False
+    return True
+
+
 def sentinel_code_null_keys(p, table):
     """Nullable GROUP BY key columns → sentinel-coded substitute table
     (VERDICT r3 missing #4). SQL groups all NULL keys together, distinct
@@ -820,11 +917,20 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
     arrays = ([cols[name].data for name in col_order]
               + [cols[nm].valid for nm in null_order])
 
+    # stats-driven digit bounds for the MXU tier: fingerprint on the
+    # DERIVED digit counts (stable across appends until a lane actually
+    # needs another digit — avoids recompiling on every stats change)
+    lbounds = lane_bounds(scatters, cols)
+    from aquery2_tpu.ops.reduce import _digits_for_bound
+    bounds_fp = tuple(sorted((t, _digits_for_bound(b))
+                             for t, b in lbounds.items()))
+
     fingerprint = (
         strategy,
         repr(sel.group_by), repr([pr[1] for pr in p["projections"]]),
         repr(p["where"]), repr(p["having"]),
         tuple(key_mins), tuple(key_ranges), tuple(null_order),
+        bounds_fp,
         tuple((a.shape[0], str(a.dtype)) for a in arrays),
     )
     if strategy == "multikey":
@@ -844,7 +950,7 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
 
         stage1, dom, strides = _make_stage1(
             key_names, key_mins, key_ranges, scatters, p["where"],
-            jnp.int64, sum_dtype_for)
+            jnp.int64, sum_dtype_for, bounds=lbounds)
         stage1.col_order = col_order
         stage1.null_order = null_order
         gcap = config.bucket_size(dom)

@@ -556,15 +556,18 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
 
 
 def _sorted_reduce(eval_sorted, valid_s, starts, last, cap, scatters,
-                   extract=None, narrow_tags=frozenset()):
+                   extract=None, narrow_tags=frozenset(), null_fn=None):
     """Group reduction over rows already sorted by group key, with a
     custom row evaluator (windowed leaves resolved by eval_sorted).
     Cumsum/boundary-extraction based — no per-group scatters
-    (ops/reduce.py has the measured cost model)."""
+    (ops/reduce.py has the measured cost model). null_fn (sorted-layout
+    NULL masks of nullable agg-arg columns) adds per-agg non-null :cnt
+    lanes — the distributed ordered tier rides nullable agg args."""
     from aquery2_tpu.ops import reduce as R
 
     add, mins, maxs, f64s = fg._build_lanes({}, valid_s, scatters,
-                                            eval_fn=eval_sorted)
+                                            eval_fn=eval_sorted,
+                                            null_fn=null_fn)
     return R.sorted_group_reduce(starts, last, add, mins, maxs, f64s, cap,
                                  counts_from_ends="__counts__",
                                  extract=extract, narrow_tags=narrow_tags)

@@ -111,7 +111,22 @@ for kk, cnt, sw in r8.rows():
     if kk >= 6:   # unmatched keys: all-NULL sum is 0 (engine convention,
         assert sw == 0, (kk, sw)   # same as the single-chip pipeline)
 
-assert db.stats.dist_spmd >= 8 and db.stats.dist_fallback == 0, (
+# dictionary-encoded VARCHAR group keys across 2 processes (both
+# processes build the same dictionary from the same inserted rows, so
+# the int32 codes agree shard-to-shard)
+syms = ["aa", "bb", "cc", "dd"]
+si = rng.integers(0, 4, n)
+db.execute("CREATE TABLE sv(sym VARCHAR(4), price INT)")
+db.catalog.get("sv").append_rows(
+    [(syms[int(i)], int(p)) for i, p in zip(si, v)])
+db.place_table(db.catalog.get("sv"))
+r9 = db.execute("SELECT sym, sum(price), count(*) FROM sv "
+                "GROUP BY sym ORDER BY sym")
+want9 = [(s, int(v[si == j].sum()), int((si == j).sum()))
+         for j, s in enumerate(syms)]
+assert r9.rows() == want9, (r9.rows(), want9[:2])
+
+assert db.stats.dist_spmd >= 9 and db.stats.dist_fallback == 0, (
     db.stats.dist_spmd, db.stats.dist_fallback_reasons)
 print(f"MULTIHOST_OK {pid}", flush=True)
 """

@@ -89,3 +89,57 @@ def test_compact_indices_matches_nonzero_semantics():
     mask = jnp.asarray(np.array([0, 1, 1, 0, 1, 0, 0, 1], bool))
     got = np.asarray(R.compact_indices(mask, 8, fill=99))
     np.testing.assert_array_equal(got, [1, 2, 4, 7, 99, 99, 99, 99])
+
+
+# --------------------------------------------------------------------- #
+# stats-driven digit bounds (VERDICT r3 weak #5: dense-tier latency)
+# --------------------------------------------------------------------- #
+
+def test_digits_for_bound_boundaries():
+    # nd balanced digits (d in [-64,63]) cover |v| <= 63*(128^nd-1)/127
+    assert R._digits_for_bound(0) == 1
+    assert R._digits_for_bound(63) == 1
+    assert R._digits_for_bound(64) == 2
+    assert R._digits_for_bound(63 * 129) == 2
+    assert R._digits_for_bound(63 * 129 + 1) == 3
+    assert R._digits_for_bound(2**31) >= 5
+
+
+@pytest.mark.parametrize("bound,nd_max", [(5, 1), (100, 2), (10**6, 4)])
+def test_segment_reduce_bounded_lanes_exact(bound, nd_max):
+    """Sums with stats bounds stay bit-exact at the bound edges
+    (values pinned to ±bound — the worst case for digit truncation)."""
+    n, domain = 16384, 64
+    rng = np.random.default_rng(3)
+    code = rng.integers(0, domain, size=n).astype(np.int32)
+    v = rng.integers(-bound, bound + 1, size=n)
+    v[:domain] = bound                    # pin worst-case values
+    v[domain:2 * domain] = -bound
+    i64 = v.astype(np.int64)
+
+    assert R._digits_for_bound(bound) <= nd_max
+    add = {"s32": jnp.asarray(v.astype(np.int32)),
+           "s64": jnp.asarray(i64)}
+    outs = R.segment_reduce(jnp.asarray(code), add, {}, {}, {}, domain,
+                            bounds={"s32": bound, "s64": bound})
+    dp = domain + 1
+    exp = np.bincount(code, weights=v.astype(np.float64),
+                      minlength=dp).astype(np.int64)
+    np.testing.assert_array_equal(np.asarray(outs["s32"])[:dp], exp)
+    np.testing.assert_array_equal(np.asarray(outs["s64"])[:dp], exp)
+
+
+def test_segment_reduce_float_bounded_exact():
+    """f32 #A limb lanes with a stats bound recombine exactly."""
+    n, domain = 8192, 10
+    rng = np.random.default_rng(4)
+    code = rng.integers(0, domain, size=n).astype(np.int32)
+    # integer-valued f32 lane, as _build_lanes' #A limb produces
+    a = np.round(rng.random(n) * 2**14).astype(np.float32)
+    outs = R.segment_reduce(
+        jnp.asarray(code), {"t#A": jnp.asarray(a)}, {}, {}, {}, domain,
+        bounds={"t#A": 2**14 + 1})
+    dp = domain + 1
+    exp = np.bincount(code, weights=a.astype(np.float64),
+                      minlength=dp).astype(np.int64)
+    np.testing.assert_array_equal(np.asarray(outs["t#A"])[:dp], exp)
