@@ -41,13 +41,138 @@ _cache: dict[tuple, Any] = {}
 
 def _word_pack(env, valid, key_names, key_mins, fields, blk):
     """Pack group keys into ONE int32 word (callers gate nwords == 1);
-    invalid rows carry the sentinel (sorts behind every group)."""
+    invalid rows carry the sentinel (sorts behind every group). Shared
+    with the distributed window tier (dist_window.py)."""
     w = jnp.zeros((blk,), jnp.int32)
     for ki, kn in enumerate(key_names):
         _wi, shift, _b = fields[ki]
         kv = env[kn] - jnp.asarray(key_mins[ki], env[kn].dtype)
         w = w | (kv.astype(jnp.int32) << shift)
     return jnp.where(valid, w, jnp.int32(1 << fg._WORD_BITS))
+
+
+class _WordKey:
+    """Packed-word group-key codec: int ColumnRef keys whose stat ranges
+    fit ONE int32 word. The word doubles as the shuffle key, the single
+    sort lane, and the merge identity; invalid rows carry the sentinel
+    (sorts behind every group). The fast path — one lane through every
+    all_to_all and sort."""
+
+    nsort = 1        # sort-key lanes (incl. validity encoding)
+
+    def __init__(self, key_names, key_mins, fields, key_dtypes):
+        self.key_names = key_names
+        self.key_mins = key_mins
+        self.fields = fields
+        self.key_dtypes = key_dtypes
+        self.sentinel = jnp.int32(1 << fg._WORD_BITS)
+        self.tags = ["__w"]
+
+    def fingerprint(self):
+        return ("word", tuple(self.key_names), tuple(self.key_mins),
+                tuple(self.fields))
+
+    def shuffle_key(self, env, valid, blk):
+        """Single lane hashed for the all_to_all destination; invalid
+        rows sentineled."""
+        return _word_pack(env, valid, self.key_names, self.key_mins,
+                          self.fields, blk)
+
+    def key_payload(self, env):
+        """Extra key lanes riding the shuffle (the word IS the shuffle
+        key, so none)."""
+        return []
+
+    def sort_keys(self, wr, pay, ok):
+        """Post-shuffle sort-key lanes, invalid-last."""
+        return [jnp.where(ok, wr, self.sentinel)]
+
+    def valid_sorted(self, lanes):
+        return lanes[0] < self.sentinel
+
+    def extract(self, lanes):
+        """Lanes whose group-end values identify each group."""
+        return dict(zip(self.tags, lanes))
+
+    def group_lanes(self, outs, slot_ok):
+        """Per-slot group identity for the cross-shard merge; empty
+        slots marked to sort last."""
+        return [jnp.where(slot_ok, outs["__w"], self.sentinel)]
+
+    def merged_ng(self, lane0):
+        return jnp.sum(lane0 < self.sentinel, dtype=jnp.int32)
+
+    def decode(self, keys, expr, lanes):
+        """Projected key values from merged identity lanes."""
+        ki = self.key_names.index(expr.name.lower())
+        _wi, shift, b = self.fields[ki]
+        kdt = self.key_dtypes[ki]
+        return (((lanes[0] >> shift) & ((1 << b) - 1)).astype(kdt)
+                + jnp.asarray(self.key_mins[ki], kdt))
+
+    def decode_np(self, keys, expr, lanes_np):
+        """Host-side decode (the host-assembly ordered merge)."""
+        import numpy as np
+
+        ki = self.key_names.index(expr.name.lower())
+        _wi, shift, b = self.fields[ki]
+        return ((lanes_np[0] >> shift) & ((1 << b) - 1)).astype(
+            self.key_dtypes[ki]) + self.key_mins[ki]
+
+
+class _MultiKey:
+    """General group-key codec: computed key expressions and/or int keys
+    whose packed layout exceeds one int32 word (VERDICT r3 weak #3 —
+    the last ordered-tier key gates). Raw key lanes ride the shuffle as
+    payload and every sort as leading operands behind an explicit
+    invalid lane (the invalid-first idiom of the single-chip multikey
+    tier, fused_groupby._run_sort); the shuffle destination is a
+    combined hash of all lanes (ops/hashing.combine_hashes — the
+    reference's generic tuple-key hash tier, hasher.h AQHashTable)."""
+
+    def __init__(self, keys, key_dtypes):
+        self.keys = list(keys)                  # AST exprs
+        self.key_dtypes = key_dtypes
+        self.nsort = 1 + len(self.keys)
+        self.tags = [f"__k{i}" for i in range(len(self.keys))]
+
+    def fingerprint(self):
+        return ("multi", repr(self.keys))
+
+    def shuffle_key(self, env, valid, blk):
+        from aquery2_tpu.ops import hashing
+
+        hs = [hashing.hash64(hashing.bits64(fg._row_eval(ke, env)))
+              for ke in self.keys]
+        h = hashing.combine_hashes(hs).astype(jnp.int64)
+        # the shuffle packer sentinels invalid rows itself (valid mask);
+        # the hash only routes — collisions merely co-locate groups
+        return h
+
+    def key_payload(self, env):
+        return [fg._row_eval(ke, env) for ke in self.keys]
+
+    def sort_keys(self, wr, pay, ok):
+        return [(~ok).astype(jnp.int32), *pay]
+
+    def valid_sorted(self, lanes):
+        return lanes[0] == 0
+
+    def extract(self, lanes):
+        return dict(zip(self.tags, lanes[1:]))
+
+    def group_lanes(self, outs, slot_ok):
+        return [jnp.where(slot_ok, 0, 1).astype(jnp.int32),
+                *[outs[t] for t in self.tags]]
+
+    def merged_ng(self, lane0):
+        return jnp.sum(lane0 == 0, dtype=jnp.int32)
+
+    def decode(self, keys, expr, lanes):
+        return lanes[1 + fg._key_index(self.keys, expr)]
+
+    def decode_np(self, keys, expr, lanes_np):
+        return lanes_np[1 + fg._key_index(self.keys, expr)]
 
 
 def _shuffle(word, payloads, valid, axis, ndev, bcap):
@@ -129,25 +254,41 @@ def _prep(session, sel, table, p, need_packed_median):
             return None
     null_order = sorted(nullable)
 
+    # group-key codec: packed single word when every key is an int
+    # ColumnRef with a one-word stat layout (the cheap path); otherwise
+    # raw multi-lane keys — computed expressions and wide/multi-word int
+    # layouts ride the general codec (no more key-shape bails)
     key_names = [k.name.lower() for k in p["keys"]
                  if isinstance(k, A.ColumnRef)]
-    if len(key_names) != len(p["keys"]):
-        session.note_dist_bail("computed keys in distributed ordered tier")
-        return None
-    key_mins, key_ranges = [], []
-    for kn in key_names:
-        c = cols[kn]
-        if c.data.dtype.kind not in "iub":
-            session.note_dist_bail("unpackable ordered group key")
-            return None
-        mn, mx = c.stats()
-        key_mins.append(int(mn))
-        key_ranges.append(int(mx) - int(mn) + 1)
-    plan_w = fg._plan_words(key_ranges)
-    if plan_w is None or plan_w[1] != 1:
-        session.note_dist_bail("ordered keys exceed one packed word")
-        return None
-    fields, _nwords = plan_w
+    codec = None
+    domain = None
+    if len(key_names) == len(p["keys"]) and all(
+            cols[kn].data.dtype.kind in "iub" for kn in key_names):
+        key_mins, key_ranges = [], []
+        for kn in key_names:
+            mn, mx = cols[kn].stats()
+            key_mins.append(int(mn))
+            key_ranges.append(int(mx) - int(mn) + 1)
+        plan_w = fg._plan_words(key_ranges)
+        if plan_w is not None and plan_w[1] == 1:
+            codec = _WordKey(key_names, key_mins, plan_w[0],
+                             [cols[kn].data.dtype for kn in key_names])
+            domain = 1
+            for r in key_ranges:
+                domain *= r
+    if codec is None:
+        # every key expression must evaluate over int/bool/dict-coded
+        # columns (float group keys: 3-valued/ordering semantics stay on
+        # the general path, same as the single-chip ordered tier)
+        for ke in p["keys"]:
+            for nm in fg._refs(ke):
+                if nm in cols and cols[nm].data.dtype.kind not in "iub":
+                    session.note_dist_bail("non-integer ordered group key")
+                    return None
+        kdts = [cols[ke.name.lower()].data.dtype
+                if isinstance(ke, A.ColumnRef) else None
+                for ke in p["keys"]]
+        codec = _MultiKey(p["keys"], kdts)
 
     arrays = ([cols[nm].data for nm in col_order]
               + [cols[nm].valid for nm in null_order])
@@ -159,8 +300,7 @@ def _prep(session, sel, table, p, need_packed_median):
     return {"mesh": mesh, "axis": axis, "ndev": ndev, "cols": cols, "n": n,
             "col_order": col_order, "null_order": null_order,
             "arrays": arrays, "cap": cap,
-            "blk": blk, "key_names": key_names, "key_mins": key_mins,
-            "key_ranges": key_ranges, "fields": fields}
+            "blk": blk, "codec": codec, "domain": domain}
 
 
 # --------------------------------------------------------------------- #
@@ -179,35 +319,29 @@ def run_median(session, sel: A.Select, table: Table, p) -> Table | None:
     cols, n, blk = lay["cols"], lay["n"], lay["blk"]
     col_order, arrays = lay["col_order"], lay["arrays"]
     null_order = lay["null_order"]
-    key_names, key_mins = lay["key_names"], lay["key_mins"]
-    key_ranges, fields = lay["key_ranges"], lay["fields"]
+    codec = lay["codec"]
     scatters = fg._needed_scatters(p["aggs"])
-    key_dtypes = [cols[kn].data.dtype for kn in key_names]
-    domain = 1
-    for r in key_ranges:
-        domain *= r
-    sentinel = jnp.int32(1 << fg._WORD_BITS)
     session.note_spmd()
 
     sharded = [_shard(mesh, axis, a) for a in arrays]
     bcap = config.bucket_size(max(2 * blk // ndev, 512))
     for _ in range(6):           # doubled-cap retry on shuffle overflow
         m = ndev * bcap          # received rows per shard
+        domain = lay["domain"] if lay["domain"] is not None else m
         lgcap = min(m, config.bucket_size(min(domain, m)))
         gcap = min(ndev * lgcap, config.bucket_size(ndev * lgcap))
         fingerprint = ("dist-median", ndev, bcap,
                        repr(sel.group_by),
                        repr([pr[1] for pr in p["projections"]]),
                        repr(p["where"]), repr(p["having"]),
-                       tuple(key_mins), tuple(key_ranges),
+                       codec.fingerprint(),
                        tuple(null_order),
                        tuple((a.shape[0], str(a.dtype)) for a in arrays))
         entry = _cache.get(fingerprint)
         if entry is None:
-            entry = _build_median(p, col_order, null_order, key_names,
-                                  key_mins, fields, key_dtypes, scatters,
-                                  mesh, axis, ndev, blk, bcap, lgcap, gcap,
-                                  sentinel)
+            entry = _build_median(p, col_order, null_order, codec,
+                                  scatters, mesh, axis, ndev, blk, bcap,
+                                  lgcap, gcap)
             _cache[fingerprint] = entry
         session._last_spmd = (entry, (n, *sharded))   # comm accounting
         results, ng, dropped = entry(n, *sharded)
@@ -226,10 +360,10 @@ def run_median(session, sel: A.Select, table: Table, p) -> Table | None:
     return fg._finish(session, p, cols, results, g, having=hv)
 
 
-def _build_median(p, col_order, null_order, key_names, key_mins, fields,
-                  key_dtypes, scatters, mesh, axis, ndev, blk, bcap, lgcap,
-                  gcap, sentinel):
+def _build_median(p, col_order, null_order, codec, scatters, mesh, axis,
+                  ndev, blk, bcap, lgcap, gcap):
     med_fps = [fp for fp, (kind, _) in scatters.items() if kind == "median"]
+    ngl = codec.nsort            # group-identity lanes through the merge
 
     def fused(nn, *arrs):
         nspec = len(arrs)
@@ -250,7 +384,8 @@ def _build_median(p, col_order, null_order, key_names, key_mins, fields,
                 if w.dtype != jnp.bool_:
                     w = w != 0
                 valid = valid & w
-            word = _word_pack(env, valid, key_names, key_mins, fields, blk)
+            skey = codec.shuffle_key(env, valid, blk)
+            kpay = codec.key_payload(env)
 
             med_rows = ([fg._row_eval(scatters[med_fps[0]][1][0], env)]
                         if med_fps else [])
@@ -262,23 +397,27 @@ def _build_median(p, col_order, null_order, key_names, key_mins, fields,
                 carrier_rows.append(env_null0[nm])
 
             wr, payr, okr, ndrop = _shuffle(
-                word, med_rows + carrier_rows, valid, axis, ndev, bcap)
-            med_r = payr[: len(med_rows)]
-            carr_r = payr[len(med_rows):]
+                skey, kpay + med_rows + carrier_rows, valid, axis, ndev,
+                bcap)
+            key_r = payr[: len(kpay)]
+            med_r = payr[len(kpay): len(kpay) + len(med_rows)]
+            carr_r = payr[len(kpay) + len(med_rows):]
             m = wr.shape[0]
 
-            wmask = jnp.where(okr, wr, sentinel)
-            nk = 1 + len(med_r)
-            sorted_res = jax.lax.sort([wmask, *med_r, *carr_r],
+            sort_keys = codec.sort_keys(wr, key_r, okr)
+            nk = codec.nsort + len(med_r)
+            sorted_res = jax.lax.sort([*sort_keys, *med_r, *carr_r],
                                       num_keys=nk, is_stable=False)
-            sw = sorted_res[0]
-            med_sorted = sorted_res[1:nk]
+            klanes = sorted_res[:codec.nsort]
+            med_sorted = sorted_res[codec.nsort:nk]
             carriers_s = dict(zip(carrier_keys, sorted_res[nk:]))
             null_fn = (fg.make_null_fn({nm: carriers_s["\0null:" + nm]
                                         for nm in null_order})
                        if null_order else None)
-            valid_s = sw < sentinel
-            dif = sw[1:] != sw[:-1]
+            valid_s = codec.valid_sorted(klanes)
+            dif = jnp.zeros((m - 1,), jnp.bool_)
+            for kl in klanes:
+                dif = dif | (kl[1:] != kl[:-1])
             starts = jnp.concatenate([jnp.ones((1,), jnp.bool_), dif])
             last = jnp.concatenate([dif, jnp.ones((1,), jnp.bool_)]) & valid_s
             add_s, mins_s, maxs_s, f64s_s = fg._build_lanes(
@@ -289,7 +428,7 @@ def _build_median(p, col_order, null_order, key_names, key_mins, fields,
             outs, ends_idx, lng = R.sorted_group_reduce(
                 starts, last, add_s, mins_s, maxs_s, f64s_s, lgcap,
                 counts_from_ends="__counts__",
-                extract={"__w": sw})
+                extract=codec.extract(klanes))
             counts = outs["__counts__"]
             if med_fps:
                 sv = med_sorted[0]
@@ -303,39 +442,37 @@ def _build_median(p, col_order, null_order, key_names, key_mins, fields,
             # per-shard FINAL projection values (groups are disjoint
             # across shards — no re-reduction at the merge)
             slot_ok = jnp.arange(lgcap, dtype=jnp.int32) < lng
+            glanes = codec.group_lanes(outs, slot_ok)
             projs = []
             for kindp, expr, alias in p["projections"]:
                 if kindp == "key":
-                    projs.append(outs["__w"])       # decoded post-merge
-                else:
+                    projs.append(jnp.zeros((lgcap,), jnp.int32))
+                else:                           # keys decoded post-merge
                     projs.append(fg._post_agg_eval(expr, outs, counts,
                                                    None))
             if p["having"] is not None:
                 projs.append(fg._post_agg_eval(p["having"], outs, counts,
                                                None))
-            return ((jnp.where(slot_ok, outs["__w"], sentinel), *projs),
+            return ((*glanes, *projs),
                     jax.lax.psum(ndrop.astype(jnp.int64), axis))
 
-        (words_all, *projs_all), dropped = local(nn, *arrs)
+        flat, dropped = local(nn, *arrs)
+        glanes_all = list(flat[:ngl])
+        projs_all = list(flat[ngl:])
         # merge: compact + key-sort the disjoint group rows; outputs are
         # pinned REPLICATED so every process can address the full result
         # (the multi-controller contract — multi-host q6 runs this)
-        sorted_res = jax.lax.sort([words_all, *projs_all], num_keys=1,
+        sorted_res = jax.lax.sort([*glanes_all, *projs_all], num_keys=ngl,
                                   is_stable=False)
         rep = lambda x: jax.lax.with_sharding_constraint(       # noqa
             x[:gcap], jax.sharding.NamedSharding(mesh, P()))
-        sw = rep(sorted_res[0])
-        ng = jnp.sum(sorted_res[0] < sentinel, dtype=jnp.int32)
+        klanes_m = [rep(x) for x in sorted_res[:ngl]]
+        ng = codec.merged_ng(sorted_res[0])
         results = []
-        pi = 1
+        pi = ngl
         for kindp, expr, alias in p["projections"]:
             if kindp == "key":
-                ki = key_names.index(expr.name.lower())
-                _wi, shift, b = fields[ki]
-                kdt = key_dtypes[ki]
-                kv = ((sw >> shift) & ((1 << b) - 1)).astype(kdt) \
-                    + jnp.asarray(key_mins[ki], kdt)
-                results.append(kv)
+                results.append(codec.decode(p["keys"], expr, klanes_m))
                 pi += 1
             else:
                 results.append(rep(sorted_res[pi]))
@@ -415,34 +552,28 @@ def run_ordered(session, sel: A.Select, table: Table) -> Table | None:
     mesh, axis, ndev = lay["mesh"], lay["axis"], lay["ndev"]
     cols, n, blk = lay["cols"], lay["n"], lay["blk"]
     col_order, arrays = lay["col_order"], lay["arrays"]
-    key_names, key_mins = lay["key_names"], lay["key_mins"]
-    key_ranges, fields = lay["key_ranges"], lay["fields"]
+    codec = lay["codec"]
     scatters = fg._needed_scatters(p["aggs"])
-    key_dtypes = [cols[kn].data.dtype for kn in key_names]
-    domain = 1
-    for r in key_ranges:
-        domain *= r
-    sentinel = jnp.int32(1 << fg._WORD_BITS)
     session.note_spmd()
 
     sharded = [_shard(mesh, axis, a) for a in arrays]
     bcap = config.bucket_size(max(2 * blk // ndev, 512))
     for _ in range(6):
         m = ndev * bcap
+        domain = lay["domain"] if lay["domain"] is not None else m
         lgcap = min(m, config.bucket_size(min(domain, m)))
         fingerprint = ("dist-ordered", ndev, bcap,
                        repr(sel.group_by), repr(p["assume"]),
                        repr([pr[1] for pr in p["projections"]]),
                        repr(p["where"]),
-                       tuple(key_mins), tuple(key_ranges),
+                       codec.fingerprint(),
                        tuple(lay["null_order"]),
                        tuple((a.shape[0], str(a.dtype)) for a in arrays))
         entry = _cache.get(fingerprint)
         if entry is None:
             entry = _build_ordered(p, col_order, lay["null_order"],
-                                   key_names, key_mins,
-                                   fields, scatters, mesh, axis, ndev, blk,
-                                   bcap, lgcap, sentinel)
+                                   codec, scatters, mesh, axis, ndev, blk,
+                                   bcap, lgcap)
             _cache[fingerprint] = entry
         session._last_spmd = (entry, (n, *sharded))   # comm accounting
         flat, scalars, dropped = entry(n, *sharded)
@@ -453,8 +584,8 @@ def run_ordered(session, sel: A.Select, table: Table) -> Table | None:
         session.note_dist_bail("shuffle overflow persists")
         return None
 
-    return _assemble_ordered(session, p, cols, key_names, key_mins, fields,
-                             key_dtypes, flat, scalars, ndev, lgcap)
+    return _assemble_ordered(session, p, cols, codec, flat, scalars,
+                             ndev, lgcap)
 
 
 def _run_ordered_dense(session, sel: A.Select, table: Table, p):
@@ -466,36 +597,30 @@ def _run_ordered_dense(session, sel: A.Select, table: Table, p):
     mesh, axis, ndev = lay["mesh"], lay["axis"], lay["ndev"]
     cols, n, blk = lay["cols"], lay["n"], lay["blk"]
     col_order, arrays = lay["col_order"], lay["arrays"]
-    key_names, key_mins = lay["key_names"], lay["key_mins"]
-    key_ranges, fields = lay["key_ranges"], lay["fields"]
+    codec = lay["codec"]
     scatters = fg._needed_scatters(p["aggs"])
-    key_dtypes = [cols[kn].data.dtype for kn in key_names]
-    domain = 1
-    for r in key_ranges:
-        domain *= r
-    sentinel = jnp.int32(1 << fg._WORD_BITS)
     session.note_spmd()
 
     sharded = [_shard(mesh, axis, a) for a in arrays]
     bcap = config.bucket_size(max(2 * blk // ndev, 512))
     for _ in range(6):
         m = ndev * bcap
+        domain = lay["domain"] if lay["domain"] is not None else m
         lgcap = min(m, config.bucket_size(min(domain, m)))
         gcap = min(ndev * lgcap, config.bucket_size(ndev * lgcap))
         fingerprint = ("dist-ordered-dense", ndev, bcap,
                        repr(sel.group_by), repr(p["assume"]),
                        repr([pr[1] for pr in p["projections"]]),
                        repr(p["where"]),
-                       tuple(key_mins), tuple(key_ranges),
+                       codec.fingerprint(),
                        tuple(lay["null_order"]),
                        tuple((a.shape[0], str(a.dtype)) for a in arrays))
         entry = _cache.get(fingerprint)
         if entry is None:
             entry = _build_ordered_dense(p, col_order, lay["null_order"],
-                                         key_names, key_mins,
-                                         fields, key_dtypes, scatters,
+                                         codec, scatters,
                                          mesh, axis, ndev, blk, bcap,
-                                         lgcap, gcap, sentinel)
+                                         lgcap, gcap)
             _cache[fingerprint] = entry
         session._last_spmd = (entry, (n, *sharded))   # comm accounting
         results, kepts, denses, ng, dropped = entry(n, *sharded)
@@ -510,13 +635,13 @@ def _run_ordered_dense(session, sel: A.Select, table: Table, p):
                                  int(ng))
 
 
-def _build_ordered_dense(p, col_order, null_order, key_names, key_mins,
-                         fields, key_dtypes, scatters, mesh, axis, ndev,
-                         blk, bcap, lgcap, gcap, sentinel):
+def _build_ordered_dense(p, col_order, null_order, codec, scatters,
+                         mesh, axis, ndev, blk, bcap, lgcap, gcap):
     from aquery2_tpu.engine import fused_ordered as fo
     from aquery2_tpu.ops import segment
 
     m = ndev * bcap
+    ngl = codec.nsort
     widths = [_subvec_width(expr)
               for kindp, expr, _ in p["projections"] if kindp == "row"]
 
@@ -526,7 +651,7 @@ def _build_ordered_dense(p, col_order, null_order, key_names, key_mins,
 
         @partial(shard_map, mesh=mesh,
                  in_specs=(P(), *([P(axis)] * nspec)),
-                 out_specs=((P(axis),)                       # words
+                 out_specs=((P(axis),) * ngl                 # group lanes
                             + (P(axis),) * len(p["projections"])  # scalars
                             + (P(axis),) * nsub              # kept counts
                             + (P(axis),) * nsub              # dense mats
@@ -543,18 +668,18 @@ def _build_ordered_dense(p, col_order, null_order, key_names, key_mins,
                 if w.dtype != jnp.bool_:
                     w = w != 0
                 valid0 = valid0 & w
-            word = _word_pack(env0, valid0, key_names, key_mins, fields,
-                              blk)
-            payload = [env0[nm] for nm in col_order] + nulls0
-            wr, payr, okr, ndrop = _shuffle(word, payload, valid0, axis,
+            skey = codec.shuffle_key(env0, valid0, blk)
+            kpay = codec.key_payload(env0)
+            payload = kpay + [env0[nm] for nm in col_order] + nulls0
+            wr, payr, okr, ndrop = _shuffle(skey, payload, valid0, axis,
                                             ndev, bcap)
-            env = dict(zip(col_order, payr[:ncols]))
-            nulls_r = payr[ncols:]
+            nkp = len(kpay)
+            env = dict(zip(col_order, payr[nkp: nkp + ncols]))
+            nulls_r = payr[nkp + ncols:]
             valid = okr
-            wmask = jnp.where(valid, wr, sentinel)
 
             idx = jnp.arange(m, dtype=jnp.int32)
-            ops = [wmask]
+            ops = codec.sort_keys(wr, payr[:nkp], okr)
             for an, asc in p["assume"]:
                 a = env[an]
                 if not asc:
@@ -566,15 +691,17 @@ def _build_ordered_dense(p, col_order, null_order, key_names, key_mins,
                 [*ops, idx, valid, *[env[nm] for nm in col_order],
                  *nulls_r],
                 num_keys=len(ops) + 1, is_stable=False)
-            sw = res[0]
+            klanes = res[:ngl]
             valid_s = res[len(ops) + 1]
             env_sorted = dict(zip(col_order,
                                   res[len(ops) + 2: len(ops) + 2 + ncols]))
             null_fn = (fg.make_null_fn(
                 dict(zip(null_order, res[len(ops) + 2 + ncols:])))
                 if null_order else None)
-            prev = jnp.concatenate([sw[:1], sw[:-1]])
-            diff = (sw != prev).at[0].set(True)
+            diff = jnp.zeros((m,), jnp.bool_).at[0].set(True)
+            for kl in klanes:
+                prev = jnp.concatenate([kl[:1], kl[:-1]])
+                diff = diff | (kl != prev)
             flags = diff & valid_s
             ng = jnp.sum(flags, dtype=jnp.int32)
             pos = segment.pos_from_flags(flags)
@@ -587,17 +714,17 @@ def _build_ordered_dense(p, col_order, null_order, key_names, key_mins,
                 [diff[1:], jnp.ones((1,), jnp.bool_)]) & valid_s
             outs, _ends, _ng2 = fo._sorted_reduce(
                 eval_sorted, valid_s, diff, last, lgcap, scatters,
-                extract={"__w": sw}, null_fn=null_fn)
+                extract=codec.extract(klanes), null_fn=null_fn)
             counts = outs["__counts__"]
             slot_ok = jnp.arange(lgcap, dtype=jnp.int32) < ng
             counts_ok = jnp.where(slot_ok, counts.astype(jnp.int32), 0)
 
-            words_out = jnp.where(slot_ok, outs["__w"], sentinel)
+            glanes = codec.group_lanes(outs, slot_ok)
             projs, kept_counts, dense_mats = [], [], []
             si = 0
             for kindp, expr, alias in p["projections"]:
-                if kindp == "key":
-                    projs.append(words_out)
+                if kindp == "key":              # decoded post-merge
+                    projs.append(jnp.zeros((lgcap,), jnp.int32))
                 elif kindp == "row":        # bounded subvec → dense rows
                     width = widths[si]
                     si += 1
@@ -617,15 +744,15 @@ def _build_ordered_dense(p, col_order, null_order, key_names, key_mins,
                 else:
                     projs.append(fg._post_agg_eval(expr, outs, counts,
                                                    None))
-            return (words_out, *projs, *kept_counts, *dense_mats,
+            return (*glanes, *projs, *kept_counts, *dense_mats,
                     jax.lax.psum(ndrop.astype(jnp.int64), axis))
 
         res = local(nn, *arrs)
         nproj = len(p["projections"])
-        words_all = res[0]
-        projs_all = list(res[1: 1 + nproj])
-        kept_all = list(res[1 + nproj: 1 + nproj + nsub])
-        dense_all = list(res[1 + nproj + nsub: 1 + nproj + 2 * nsub])
+        glanes_all = list(res[:ngl])
+        projs_all = list(res[ngl: ngl + nproj])
+        kept_all = list(res[ngl + nproj: ngl + nproj + nsub])
+        dense_all = list(res[ngl + nproj + nsub: ngl + nproj + 2 * nsub])
         dropped = res[-1]
 
         # replicated merge: groups are DISJOINT across shards, so one
@@ -637,23 +764,18 @@ def _build_ordered_dense(p, col_order, null_order, key_names, key_mins,
             mat = dm.reshape(-1, width)
             widths_cols.append([mat[:, o] for o in range(width)])
             payload.extend(widths_cols[-1])
-        sorted_res = jax.lax.sort([words_all, *payload], num_keys=1,
+        sorted_res = jax.lax.sort([*glanes_all, *payload], num_keys=ngl,
                                   is_stable=False)
-        ng = jnp.sum(sorted_res[0] < sentinel, dtype=jnp.int32)
+        ng = codec.merged_ng(sorted_res[0])
         rep = lambda x: jax.lax.with_sharding_constraint(       # noqa
             x[:gcap], jax.sharding.NamedSharding(mesh, P()))
-        sw = rep(sorted_res[0])
+        klanes_m = [rep(x) for x in sorted_res[:ngl]]
         results = []
         kepts, denses = [], []
-        pi = 1
+        pi = ngl
         for kindp, expr, alias in p["projections"]:
             if kindp == "key":
-                ki = key_names.index(expr.name.lower())
-                _wi, shift, b = fields[ki]
-                kdt = key_dtypes[ki]
-                kv = ((sw >> shift) & ((1 << b) - 1)).astype(kdt) \
-                    + jnp.asarray(key_mins[ki], kdt)
-                results.append(kv)
+                results.append(codec.decode(p["keys"], expr, klanes_m))
             else:
                 results.append(rep(sorted_res[pi]))
             pi += 1
@@ -688,11 +810,16 @@ def _finish_ordered_dense(session, p, cols, results, kepts, denses, g):
             name = f"{name}_{used[lk]}"
         else:
             used[lk] = 0
-        if kindp == "key":
+        if kindp == "key" and isinstance(expr, A.ColumnRef):
             src = cols[expr.name]
             out.columns[name] = Column(name, src.sqltype,
                                        results[pi][: max(g, 1)], nrows=g,
                                        dictionary=src.dictionary)
+        elif kindp == "key":                    # computed group key
+            arr = results[pi][: max(g, 1)]
+            st = (T.from_np_dtype(np.dtype(arr.dtype))
+                  if arr.dtype != jnp.bool_ else T.BoolT)
+            out.columns[name] = Column(name, st, arr, nrows=g)
         elif kindp == "row":
             kc = np.asarray(kepts[si][:g]).astype(np.int64)
             mat = np.asarray(denses[si][:g])
@@ -723,12 +850,13 @@ def _finish_ordered_dense(session, p, cols, results, kepts, denses, g):
     return out
 
 
-def _build_ordered(p, col_order, null_order, key_names, key_mins, fields,
-                   scatters, mesh, axis, ndev, blk, bcap, lgcap, sentinel):
+def _build_ordered(p, col_order, null_order, codec, scatters, mesh, axis,
+                   ndev, blk, bcap, lgcap):
     from aquery2_tpu.engine import fused_ordered as fo
     from aquery2_tpu.ops import segment
 
     m = ndev * bcap
+    ngl = codec.nsort
 
     def fused(nn, *arrs):
         nspec = len(arrs)
@@ -736,7 +864,7 @@ def _build_ordered(p, col_order, null_order, key_names, key_mins, fields,
 
         @partial(shard_map, mesh=mesh,
                  in_specs=(P(), *([P(axis)] * nspec)),
-                 out_specs=((P(axis),)                       # words
+                 out_specs=((P(axis),) * ngl                 # group lanes
                             + (P(axis),) * len(p["projections"])
                             + (P(axis),) * nrag              # kept counts
                             + (P(axis),)                     # scalars [3]
@@ -753,20 +881,21 @@ def _build_ordered(p, col_order, null_order, key_names, key_mins, fields,
                 if w.dtype != jnp.bool_:
                     w = w != 0
                 valid0 = valid0 & w
-            word = _word_pack(env0, valid0, key_names, key_mins, fields,
-                              blk)
-            payload = [env0[nm] for nm in col_order] + nulls0
-            wr, payr, okr, ndrop = _shuffle(word, payload, valid0, axis,
+            skey = codec.shuffle_key(env0, valid0, blk)
+            kpay = codec.key_payload(env0)
+            payload = kpay + [env0[nm] for nm in col_order] + nulls0
+            wr, payr, okr, ndrop = _shuffle(skey, payload, valid0, axis,
                                             ndev, bcap)
-            env = dict(zip(col_order, payr[:ncols]))
-            nulls_r = payr[ncols:]
+            nkp = len(kpay)
+            env = dict(zip(col_order, payr[nkp: nkp + ncols]))
+            nulls_r = payr[nkp + ncols:]
             valid = okr
-            wmask = jnp.where(valid, wr, sentinel)
 
-            # sorted layout: word, assumption cols, iota tiebreak; env
-            # columns + validity ride as payload (never gather post-sort)
+            # sorted layout: key lanes, assumption cols, iota tiebreak;
+            # env columns + validity ride as payload (never gather
+            # post-sort)
             idx = jnp.arange(m, dtype=jnp.int32)
-            ops = [wmask]
+            ops = codec.sort_keys(wr, payr[:nkp], okr)
             for an, asc in p["assume"]:
                 a = env[an]
                 if not asc:
@@ -778,15 +907,17 @@ def _build_ordered(p, col_order, null_order, key_names, key_mins, fields,
                 [*ops, idx, valid, *[env[nm] for nm in col_order],
                  *nulls_r],
                 num_keys=len(ops) + 1, is_stable=False)
-            sw = res[0]
+            klanes = res[:ngl]
             valid_s = res[len(ops) + 1]
             env_sorted = dict(zip(col_order,
                                   res[len(ops) + 2: len(ops) + 2 + ncols]))
             null_fn = (fg.make_null_fn(
                 dict(zip(null_order, res[len(ops) + 2 + ncols:])))
                 if null_order else None)
-            prev = jnp.concatenate([sw[:1], sw[:-1]])
-            diff = (sw != prev).at[0].set(True)
+            diff = jnp.zeros((m,), jnp.bool_).at[0].set(True)
+            for kl in klanes:
+                prev = jnp.concatenate([kl[:1], kl[:-1]])
+                diff = diff | (kl != prev)
             flags = diff & valid_s
             ng = jnp.sum(flags, dtype=jnp.int32)
             pos = segment.pos_from_flags(flags)
@@ -798,19 +929,19 @@ def _build_ordered(p, col_order, null_order, key_names, key_mins, fields,
                 [diff[1:], jnp.ones((1,), jnp.bool_)]) & valid_s
             outs, _ends, _ng2 = fo._sorted_reduce(
                 eval_sorted, valid_s, diff, last, lgcap, scatters,
-                extract={"__w": sw}, null_fn=null_fn)
+                extract=codec.extract(klanes), null_fn=null_fn)
             counts = outs["__counts__"]
             slot_ok = jnp.arange(lgcap, dtype=jnp.int32) < ng
             counts_ok = jnp.where(slot_ok, counts.astype(jnp.int32), 0)
             nvalid = jnp.sum(valid_s, dtype=jnp.int32)
 
-            words_out = jnp.where(slot_ok, outs["__w"], sentinel)
+            glanes = codec.group_lanes(outs, slot_ok)
             projs = []
             kept_counts = []
             total_kept = jnp.zeros((), jnp.int32)
             for kindp, expr, alias in p["projections"]:
-                if kindp == "key":
-                    projs.append(words_out)
+                if kindp == "key":              # decoded at assembly
+                    projs.append(jnp.zeros((lgcap,), jnp.int32))
                 elif kindp == "row":
                     if fo._is_window_call(expr) and expr.func == "subvec":
                         base = eval_sorted(expr.args[0])
@@ -834,7 +965,7 @@ def _build_ordered(p, col_order, null_order, key_names, key_mins, fields,
                     projs.append(fg._post_agg_eval(expr, outs, counts,
                                                    None))
             scalars = jnp.stack([ng, nvalid, total_kept])
-            return (words_out, *projs, *kept_counts, scalars,
+            return (*glanes, *projs, *kept_counts, scalars,
                     jax.lax.psum(ndrop.astype(jnp.int64), axis))
 
         res = local(nn, *arrs)
@@ -843,28 +974,30 @@ def _build_ordered(p, col_order, null_order, key_names, key_mins, fields,
     return jax.jit(fused)
 
 
-def _assemble_ordered(session, p, cols, key_names, key_mins, fields,
-                      key_dtypes, flat, scalars, ndev, lgcap):
+def _assemble_ordered(session, p, cols, codec, flat, scalars, ndev, lgcap):
     """Host assembly: per-shard disjoint groups → one Table in global
     key order (matching the single-chip fused_ordered group order)."""
     from aquery2_tpu.engine.executor import _derive_name
 
+    ngl = codec.nsort
     sc = np.asarray(scalars).reshape(ndev, 3)
     ng_d, nvalid_d, _kept_d = sc[:, 0], sc[:, 1], sc[:, 2]
-    words_all = np.asarray(flat[0]).reshape(ndev, lgcap)
+    lanes_all = [np.asarray(a).reshape(ndev, lgcap) for a in flat[:ngl]]
     nproj = len(p["projections"])
-    proj_arrays = [np.asarray(a) for a in flat[1: 1 + nproj]]
+    proj_arrays = [np.asarray(a) for a in flat[ngl: ngl + nproj]]
     kept_arrays = [np.asarray(a).reshape(ndev, lgcap)
-                   for a in flat[1 + nproj:]]
+                   for a in flat[ngl + nproj:]]
 
-    # global group order: key-ascending across shards
+    # global group order: key-lane-lexicographic ascending across shards
     shard_of = np.repeat(np.arange(ndev), ng_d)
     slot_of = np.concatenate([np.arange(g) for g in ng_d]) \
         if len(shard_of) else np.zeros(0, np.int64)
-    words = words_all[shard_of, slot_of]
-    order = np.argsort(words, kind="stable")
-    shard_of, slot_of, words = shard_of[order], slot_of[order], words[order]
-    G = len(words)
+    lanes = [la[shard_of, slot_of] for la in lanes_all]
+    order = (np.lexsort(tuple(reversed(lanes))) if lanes
+             else np.zeros(0, np.int64))
+    shard_of, slot_of = shard_of[order], slot_of[order]
+    lanes = [la[order] for la in lanes]
+    G = len(shard_of)
 
     out = Table.__new__(Table)
     out.name = f"result_{base62uuid(4)}"
@@ -881,13 +1014,16 @@ def _assemble_ordered(session, p, cols, key_names, key_mins, fields,
         else:
             used[lk] = 0
         if kindp == "key":
-            ki = key_names.index(expr.name.lower())
-            _wi, shift, b = fields[ki]
-            kv = ((words >> shift) & ((1 << b) - 1)).astype(
-                key_dtypes[ki]) + key_mins[ki]
-            src = cols[expr.name]
-            out.columns[name] = Column(name, src.sqltype, kv, nrows=G,
-                                       dictionary=src.dictionary)
+            kv = codec.decode_np(p["keys"], expr, lanes)
+            if isinstance(expr, A.ColumnRef):
+                src = cols[expr.name]
+                out.columns[name] = Column(name, src.sqltype, kv, nrows=G,
+                                           dictionary=src.dictionary)
+            else:                               # computed group key
+                out.columns[name] = Column(
+                    name, (T.from_np_dtype(np.asarray(kv).dtype)
+                           if np.asarray(kv).dtype != np.bool_
+                           else T.BoolT), kv, nrows=G)
         elif kindp == "row":
             vals2 = proj_arrays[pi].reshape(ndev, -1)
             kc = kept_arrays[rag_i]
