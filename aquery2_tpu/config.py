@@ -56,6 +56,13 @@ donate_buffers: bool = _flag("AQ_TPU_DONATE", True)
 # pure-XLA formulations everywhere.
 use_pallas: bool = _flag("AQ_TPU_PALLAS", True)
 
+# Fused one-hot MXU segment reduction (pallas_kernels.onehot_segment_
+# sums) for the dense group-by tier. Opt-in (AQ_TPU_ONEHOT=1) until the
+# tunneled remote Mosaic-compile service proves it: a FAILED remote
+# pallas compile has been observed to wedge the shared terminal for
+# ~1 h, which would take down a whole benchmark run.
+use_pallas_onehot: bool = _flag("AQ_TPU_ONEHOT", False)
+
 # Forced platform, if any (resolved lazily by runtime.device).
 forced_platform: str | None = os.environ.get("AQ_TPU_PLATFORM") or None
 

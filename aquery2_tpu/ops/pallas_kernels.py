@@ -383,3 +383,80 @@ def seg_scan_multi(flags: jax.Array | None, xs: tuple[jax.Array, ...],
     if not isinstance(outs, (list, tuple)):
         outs = (outs,)
     return tuple(o.reshape(cap) for o in outs)
+
+
+# ======================================================================= #
+# Fused one-hot MXU segment reduction (small group domains)
+# ======================================================================= #
+#
+# The XLA dense tier (ops/reduce._mxu_reduce) materializes the one-hot
+# [dp, chunk] bf16 matrix to HBM every scan step — measured ~12 GB of
+# pure one-hot traffic for h2o q1 at 1e8 rows (bool compare write + bf16
+# cast write + dot read), ~3x the input data itself. This kernel builds
+# the one-hot IN VMEM (an iota compare the MXU dot consumes directly),
+# so HBM traffic is just code + digit lanes: speed-of-light for the
+# dense tier. Reference analogue: the perfect-hash scatter loop
+# (server/hasher.h PerfectHashTable) — here a systolic matmul.
+#
+# Exactness: digits |d| <= max_digit; each superblock spans
+# steps_per_sb * cb rows with max_digit * rows_per_sb <= 2^24, so every
+# f32 partial accumulation step stays integer-exact. The [nsb, dp, L]
+# partials are summed in int64 OUTSIDE the kernel (tiny).
+
+def _make_onehot_kernel(dp, steps_per_sb):
+    def kernel(code_ref, pay_ref, out_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step % steps_per_sb == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        code = code_ref[...]                            # [1, CB] int32
+        iota = jax.lax.broadcasted_iota(jnp.int32, (dp, 1), 0)
+        # select, not a bool->bf16 cast: Mosaic's convert_element_type
+        # lowering recurses on i1->bf16 (observed RecursionError)
+        oh = jnp.where(code == iota, jnp.bfloat16(1),
+                       jnp.bfloat16(0))                 # [dp, CB] VMEM
+        pay = pay_ref[...]                              # [L, CB] bf16
+        part = jax.lax.dot_general(
+            oh, pay, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [dp, L] exact
+        out_ref[...] += part[None]
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dp", "max_digit", "interpret"))
+def onehot_segment_sums(code: jax.Array, pay: jax.Array, dp: int,
+                        max_digit: int, interpret: bool = False):
+    """Per-superblock one-hot sums: code [n] int32 slots in [0, dp),
+    pay [L, n] bf16 digit lanes (|value| <= max_digit) -> [nsb, dp, L]
+    f32 integer-exact partials. Callers sum over axis 0 in int64."""
+    n = int(code.shape[0])
+    L = int(pay.shape[0])
+    # block rows: one-hot [dp, cb] bf16 <= 2 MB and payload [L, cb]
+    # bf16 <= 3 MB in VMEM (double-buffered by Mosaic)
+    cb = 1 << 15
+    while cb > 1024 and (n % cb or dp * cb * 2 > (2 << 20)
+                         or L * cb * 2 > (3 << 20)):
+        cb //= 2
+    assert n % cb == 0, (n, cb)
+    nsteps = n // cb
+    steps_per_sb = max(1, ((1 << 24) // max(max_digit, 1)) // cb)
+    nsb = -(-nsteps // steps_per_sb)
+
+    code2 = code.reshape(1, nsteps * cb)
+    out = pl.pallas_call(
+        _make_onehot_kernel(dp, steps_per_sb),
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, cb), lambda i: (np.int32(0), i)),
+            pl.BlockSpec((L, cb), lambda i: (np.int32(0), i)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, dp, L), lambda i, s=steps_per_sb: (i // s, np.int32(0),
+                                                   np.int32(0))),
+        out_shape=jax.ShapeDtypeStruct((nsb, dp, L), jnp.float32),
+        interpret=interpret,
+    )(code2, pay)
+    return out

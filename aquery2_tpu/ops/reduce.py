@@ -188,6 +188,66 @@ def _lane_digits(tag: str, v: jax.Array, nd: int) -> list[jax.Array]:
 # tier 1: one-hot matmul (MXU) for small domains
 # --------------------------------------------------------------------- #
 
+def _digit_mag(t, dt, nd, bounds) -> int:
+    """Max |digit| a lane's decomposition can produce (exactness caps)."""
+    dt = jnp.dtype(dt)
+    if dt == jnp.bool_:
+        return 1
+    if nd == 1 and t in bounds:
+        return max(int(bounds[t]), 1)         # values ARE the digits
+    if dt.kind != "f" and dt.itemsize > 4 and nd > 5:
+        return _DIGIT_BASE - 1                # uint lo/mid limb digits
+    return _DIGIT_BASE // 2                   # balanced digits
+
+
+def _pallas_onehot_ok(n: int, dp: int) -> bool:
+    """Gate for the fused one-hot Pallas reduction: TPU backend
+    (Mosaic), block-aligned capacity, large enough to beat the XLA scan
+    warm-up. Opt-in via AQ_TPU_ONEHOT=1 (see config.use_pallas_onehot:
+    a failed remote Mosaic compile can wedge the tunneled chip)."""
+    if not (config.use_pallas and config.use_pallas_onehot):
+        return False
+    if n % 8192 != 0 or n < (1 << 16):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _pallas_onehot_reduce(code, add_lanes, domain, bounds=None,
+                          interpret=False):
+    """Additive lanes via the fused one-hot MXU kernel: the one-hot
+    lives only in VMEM (pallas_kernels.onehot_segment_sums), cutting the
+    dense tier's HBM traffic to code + digit lanes (measured q1 at 1e8:
+    48 -> ~31 ms, the residual being the tunnel's ~23 ms sync)."""
+    from aquery2_tpu.ops import pallas_kernels as PK
+
+    add_tags = list(add_lanes)
+    dp = domain + 1
+    n = int(code.shape[0])
+    bounds = bounds or {}
+    nd_per = [_ndigits_for(t, add_lanes[t].dtype, bounds.get(t))
+              for t in add_tags]
+    max_digit = max((_digit_mag(t, add_lanes[t].dtype, nd, bounds)
+                     for t, nd in zip(add_tags, nd_per)), default=1)
+
+    digs = []
+    for t, nd in zip(add_tags, nd_per):
+        digs.extend(_lane_digits(t, add_lanes[t], nd))
+    pay = jnp.stack(digs, axis=0)                       # [L, n] bf16
+    parts = PK.onehot_segment_sums(code, pay, dp, max_digit,
+                                   interpret=interpret)
+    acc = jnp.sum(parts.astype(jnp.int64), axis=0)      # [dp, L] exact
+
+    outs = {}
+    off = 0
+    for t, nd in zip(add_tags, nd_per):
+        total = jnp.zeros((dp,), jnp.int64)
+        for j in range(nd):
+            total = total + (acc[:, off + j] << (_DIGIT_BITS * j))
+        off += nd
+        outs[t] = total
+    return outs
+
+
 def _mxu_reduce(code, add_lanes, min_lanes, max_lanes, domain,
                 bounds=None):
     add_tags = list(add_lanes)
@@ -201,16 +261,7 @@ def _mxu_reduce(code, add_lanes, min_lanes, max_lanes, domain,
         for t in add_tags]
     nlanes = sum(nd_per)
 
-    def _digit_mag(t, nd):
-        dt = jnp.dtype(add_lanes[t].dtype)
-        if dt == jnp.bool_:
-            return 1
-        if nd == 1 and t in bounds:
-            return max(int(bounds[t]), 1)     # values ARE the digits
-        if dt.kind != "f" and dt.itemsize > 4 and nd > 5:
-            return _DIGIT_BASE - 1            # uint lo/mid limb digits
-        return _DIGIT_BASE // 2               # balanced digits
-    max_digit = max((_digit_mag(t, nd)
+    max_digit = max((_digit_mag(t, add_lanes[t].dtype, nd, bounds)
                      for t, nd in zip(add_tags, nd_per)), default=1)
     chunk = _pick_chunk(n, dp, max_digit)
     nc = n // chunk
@@ -319,8 +370,14 @@ def segment_reduce(code: jax.Array, add_lanes: dict[str, jax.Array],
     use_mxu = (dp <= config.ONEHOT_MATMUL_MAX_GROUPS and n >= _CHUNK
                and n % _CHUNK == 0 and (add_lanes or min_lanes or max_lanes))
     if use_mxu:
-        outs.update(_mxu_reduce(code, add_lanes, min_lanes, max_lanes,
-                                domain, bounds=bounds))
+        rem_adds = add_lanes
+        if add_lanes and _pallas_onehot_ok(n, dp):
+            outs.update(_pallas_onehot_reduce(code, add_lanes, domain,
+                                              bounds))
+            rem_adds = {}
+        if rem_adds or min_lanes or max_lanes:
+            outs.update(_mxu_reduce(code, rem_adds, min_lanes, max_lanes,
+                                    domain, bounds=bounds))
     else:
         for t, col in add_lanes.items():
             outs[t] = (jnp.zeros((dp,), jnp.int64)

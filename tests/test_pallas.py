@@ -112,3 +112,44 @@ def test_seg_cumsum_i64_cross_block_carry(rng):
     got = np.asarray(join_i64_limbs(shi, slo))
     want = _seg_oracle(v, flags, np.add, dtype=np.int64)
     np.testing.assert_array_equal(got, want)
+
+
+def test_onehot_segment_sums_exact():
+    """Fused one-hot MXU reduction: integer-exact vs np.bincount."""
+    import numpy as np
+    from aquery2_tpu.ops import pallas_kernels as PK
+    from aquery2_tpu.ops import reduce as R
+
+    rng = np.random.default_rng(11)
+    n, dp = 16384, 16
+    code = rng.integers(0, dp, n).astype(np.int32)
+    add = {
+        "c": jnp.asarray(np.ones(n, bool)),
+        "s": jnp.asarray(rng.integers(-5, 6, n).astype(np.int32)),
+        "w": jnp.asarray(rng.integers(-(2**40), 2**40, n)),
+    }
+    outs = R._pallas_onehot_reduce(jnp.asarray(code), add, dp - 1,
+                                   bounds={"s": 5}, interpret=True)
+    for t, col in (("c", np.ones(n)), ("s", np.asarray(add["s"])),
+                   ("w", np.asarray(add["w"]))):
+        exp = np.bincount(code, weights=col.astype(np.float64),
+                          minlength=dp).astype(np.int64)
+        np.testing.assert_array_equal(np.asarray(outs[t])[:dp], exp,
+                                      err_msg=t)
+
+
+def test_onehot_superblock_boundaries():
+    """Partials stay exact across superblock boundaries (max_digit
+    forces steps_per_sb=1 at a small block)."""
+    import numpy as np
+    from aquery2_tpu.ops import reduce as R
+
+    n, dp = 32768, 8
+    code = (np.arange(n) % dp).astype(np.int32)
+    v = np.full(n, 63, np.int32)
+    outs = R._pallas_onehot_reduce(
+        jnp.asarray(code), {"s": jnp.asarray(v)}, dp - 1,
+        bounds={"s": 63}, interpret=True)
+    exp = np.bincount(code, weights=v.astype(np.float64),
+                      minlength=dp).astype(np.int64)
+    np.testing.assert_array_equal(np.asarray(outs["s"])[:dp], exp)
