@@ -39,7 +39,8 @@ from jax.sharding import PartitionSpec as P
 from aquery2_tpu import config
 from aquery2_tpu import types as T
 from aquery2_tpu.engine import fused_groupby as fg
-from aquery2_tpu.engine.dist_ordered import _shard, _shuffle, _word_pack
+from aquery2_tpu.engine.dist_ordered import (_MultiKey, _shard, _shuffle,
+                                             _WordKey)
 from aquery2_tpu.ops import scan
 from aquery2_tpu.ops import window as W
 from aquery2_tpu.parser import ast_nodes as A
@@ -113,8 +114,14 @@ def _plan(session, sel: A.Select, table: Table):
             return bail("window partition keys differ across projections")
     if not part:
         return bail("window without PARTITION BY")
-    if not all(isinstance(k, A.ColumnRef) and k.name in cols for k in part):
-        return bail("computed window partition keys")
+    for k in part:
+        if isinstance(k, A.ColumnRef) and k.name in cols:
+            continue
+        try:                            # computed partition key
+            fg._check_row_expr(k, cols)
+        except fg.Unsupported:
+            return bail("untraceable window partition key")
+        _walk_cols(k, referenced)
 
     layouts: list[list] = []            # distinct OVER ORDER BY lists
     layout_of: list[int] = []           # per-window layout index
@@ -129,7 +136,7 @@ def _plan(session, sel: A.Select, table: Table):
             layouts.append(list(w.order_by))
 
     for k in part:
-        referenced.add(k.name.lower())
+        _walk_cols(k, referenced)
     for lo in layouts:
         for o in lo:
             try:
@@ -242,25 +249,37 @@ def _plan(session, sel: A.Select, table: Table):
         if nm in cols and getattr(cols[nm], "valid", None) is not None:
             return bail("NULL columns in distributed window tier")
 
-    key_names = [k.name.lower() for k in part]
-    key_mins, key_ranges = [], []
-    for kn in key_names:
-        c = cols[kn]
-        if c.data.dtype.kind not in "iub":
-            return bail("unpackable window partition key")
-        mn, mx = c.stats()
-        key_mins.append(int(mn))
-        key_ranges.append(int(mx) - int(mn) + 1)
-    plan_w = fg._plan_words(key_ranges)
-    if plan_w is None or plan_w[1] != 1:
-        return bail("window partition keys exceed one packed word")
-    fields, _ = plan_w
+    # partition-key codec (shared with the ordered tier): packed single
+    # word when possible, raw multi-lane keys for computed expressions
+    # and wide/multi-word int layouts (VERDICT r3 parity sweep)
+    key_names = [k.name.lower() for k in part
+                 if isinstance(k, A.ColumnRef)]
+    codec = None
+    if len(key_names) == len(part) and all(
+            cols[kn].data.dtype.kind in "iub" for kn in key_names):
+        key_mins, key_ranges = [], []
+        for kn in key_names:
+            mn, mx = cols[kn].stats()
+            key_mins.append(int(mn))
+            key_ranges.append(int(mx) - int(mn) + 1)
+        plan_w = fg._plan_words(key_ranges)
+        if plan_w is not None and plan_w[1] == 1:
+            codec = _WordKey(key_names, key_mins, plan_w[0],
+                             [cols[kn].data.dtype for kn in key_names])
+    if codec is None:
+        for k in part:
+            for nm in fg._refs(k):
+                if nm in cols and cols[nm].data.dtype.kind not in "iub":
+                    return bail("non-integer window partition key")
+        codec = _MultiKey(list(part),
+                          [cols[k.name.lower()].data.dtype
+                           if isinstance(k, A.ColumnRef) else None
+                           for k in part])
 
     return {"wins": wins, "projections": projections, "layouts": layouts,
             "layout_of": layout_of,
-            "where": sel.where, "key_names": key_names,
-            "key_mins": key_mins, "key_ranges": key_ranges,
-            "fields": fields, "col_order": sorted(referenced),
+            "where": sel.where, "codec": codec,
+            "col_order": sorted(referenced),
             "order_by": order_by, "limit": sel.limit,
             "into_table": sel.into_table,
             "into_outfile": sel.into_outfile,
@@ -332,8 +351,7 @@ def try_run(session, sel: A.Select, table: Table) -> Table | None:
     for _ in range(6):          # doubled-cap retry on shuffle overflow
         fingerprint = ("dist-window", ndev, bcap,
                        repr([pr[3] for pr in p["projections"]]),
-                       repr(p["where"]), tuple(p["key_mins"]),
-                       tuple(p["key_ranges"]),
+                       repr(p["where"]), p["codec"].fingerprint(),
                        tuple((a.shape[0], str(a.dtype)) for a in arrays))
         entry = _cache.get(fingerprint)
         if entry is None:
@@ -353,9 +371,8 @@ def try_run(session, sel: A.Select, table: Table) -> Table | None:
 
 def _build(p, cols, mesh, axis, ndev, blk, bcap):
     col_order = p["col_order"]
-    key_names, key_mins = p["key_names"], p["key_mins"]
-    fields = p["fields"]
-    sentinel = jnp.int32(1 << fg._WORD_BITS)
+    codec = p["codec"]
+    ngl = codec.nsort
     m = ndev * bcap
 
     def fused(nn, *arrs):
@@ -378,14 +395,15 @@ def _build(p, cols, mesh, axis, ndev, blk, bcap):
                 if w.dtype != jnp.bool_:
                     w = w != 0
                 valid0 = valid0 & w
-            word = _word_pack(env0, valid0, key_names, key_mins, fields,
-                              blk)
-            payload = [gidx] + [env0[nm] for nm in col_order]
-            wr, payr, okr, ndrop = _shuffle(word, payload, valid0, axis,
+            skey = codec.shuffle_key(env0, valid0, blk)
+            kpay = codec.key_payload(env0)
+            nkp = len(kpay)
+            payload = kpay + [gidx] + [env0[nm] for nm in col_order]
+            wr, payr, okr, ndrop = _shuffle(skey, payload, valid0, axis,
                                             ndev, bcap)
-            gidx_r = payr[0]
-            env = dict(zip(col_order, payr[1:]))
-            wmask = jnp.where(okr, wr, sentinel)
+            gidx_r = payr[nkp]
+            env = dict(zip(col_order, payr[nkp + 1:]))
+            klanes0 = codec.sort_keys(wr, payr[:nkp], okr)
             gidx_key = jnp.where(okr, gidx_r, jnp.int32(2**31 - 1))
             recv_idx = jnp.arange(m, dtype=jnp.int32)
 
@@ -397,7 +415,7 @@ def _build(p, cols, mesh, axis, ndev, blk, bcap):
             projs: list = [None] * nproj
             nulls: list = [None] * nproj
             for li, layout in enumerate(p["layouts"]):
-                ops = [wmask]
+                ops = list(klanes0)
                 for o in layout:
                     a = fg._row_eval(o.expr, env)
                     if a.dtype == jnp.bool_:
@@ -409,13 +427,15 @@ def _build(p, cols, mesh, axis, ndev, blk, bcap):
                                             a.dtype)))
                 res = jax.lax.sort([*ops, gidx_key, recv_idx],
                                    num_keys=len(ops) + 1, is_stable=False)
-                sw = res[0]
+                klanes = res[:ngl]
                 perm = res[-1]          # sorted pos → receive-domain pos
                 valid_s = okr[perm]
                 env_s = {nm: env[nm][perm] for nm in col_order}
 
-                flags = jnp.concatenate([jnp.ones((1,), bool),
-                                         sw[1:] != sw[:-1]])
+                flags = jnp.zeros((m,), bool).at[0].set(True)
+                for kl in klanes:
+                    prev = jnp.concatenate([kl[:1], kl[:-1]])
+                    flags = flags | (kl != prev)
                 pos = W.positions(flags)
                 idx = jnp.arange(m, dtype=jnp.int32)
                 start_i = idx - pos

@@ -145,7 +145,17 @@ class Session:
             self.procedures.record(text.strip())
         with self.stats.timed("exec"):
             for stmt in stmts:
-                r = self.executor.execute(stmt)
+                try:
+                    r = self.executor.execute(stmt)
+                except Exception as e:  # noqa: BLE001 — gated below
+                    # broken remote Mosaic compile service → sticky
+                    # pure-XLA fallback + one retry (engine/recover.py)
+                    from aquery2_tpu.engine import recover
+
+                    if not recover.is_pallas_failure(e):
+                        raise
+                    recover.disable_pallas_and_clear()
+                    r = self.executor.execute(stmt)
                 if r is not None:
                     last = r
         self.stats.record_query(text.strip(), time.perf_counter() - t0)

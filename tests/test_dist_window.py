@@ -124,3 +124,56 @@ def test_dist_window_bails_are_reported(pair):
     # no PARTITION BY → global window, not colocatable by key shuffle
     s8.execute("SELECT sum(b) OVER () AS t FROM f LIMIT 3")
     assert s8.stats.dist_fallback == fb0 + 1
+
+
+# --------------------------------------------------------------------- #
+# computed + multi-word partition keys (key codec, shared with the
+# distributed ordered tier)
+# --------------------------------------------------------------------- #
+
+@pytest.fixture(scope="module")
+def wide_pair():
+    rng = np.random.default_rng(13)
+    n = 8 * 400
+    rows = [(int(a), int(b), int(t), float(x)) for a, b, t, x in zip(
+        rng.integers(0, 100_000, n), rng.integers(0, 100_000, n),
+        rng.permutation(n), rng.random(n).round(5))]
+
+    def load(db):
+        db.execute("CREATE TABLE wf(k1 INT, k2 INT, ts INT, v DOUBLE)")
+        db.catalog.get("wf").append_rows(rows)
+        db.place_table(db.catalog.get("wf"))
+
+    s1 = aq.connect()
+    load(s1)
+    s8 = aq.connect(mesh=8)
+    load(s8)
+    return s1, s8
+
+
+WIDE_WINDOW_QUERIES = [
+    # multi-word int partition keys (17+17 bits > one packed word)
+    "SELECT k1, k2, sum(v) OVER (PARTITION BY k1, k2 ORDER BY ts) AS rs "
+    "FROM wf ORDER BY k1, k2, ts LIMIT 30",
+    # computed partition key
+    "SELECT k1, row_number() OVER (PARTITION BY k1 % 5 ORDER BY ts) "
+    "AS rn FROM wf ORDER BY k1, rn LIMIT 25",
+]
+
+
+@pytest.mark.parametrize("q", WIDE_WINDOW_QUERIES)
+def test_dist_window_wide_and_computed_partition_keys(wide_pair, q):
+    s1, s8 = wide_pair
+    spmd0 = s8.stats.dist_spmd
+    r1, r8 = s1.execute(q), s8.execute(q)
+    assert s8.stats.dist_spmd == spmd0 + 1, (
+        f"{q} fell back: {s8.stats.dist_fallback_reasons[-2:]}")
+    assert r1.column_names() == r8.column_names()
+    rows1, rows8 = r1.rows(), r8.rows()
+    assert len(rows1) == len(rows8)
+    for a, b in zip(rows1, rows8):
+        for x, y in zip(a, b):
+            if isinstance(x, float):
+                assert y == pytest.approx(x, rel=1e-9, abs=1e-12), (q, a, b)
+            else:
+                assert x == y, (q, a, b)
