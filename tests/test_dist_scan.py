@@ -1,0 +1,81 @@
+"""Distributed top-k scans (ORDER BY … LIMIT, engine/dist_scan.py):
+per-shard local top-L + one replicated merge — the last ungrouped query
+class moves off the single-chip fallback."""
+
+import numpy as np
+import pytest
+
+import aquery2_tpu as aq
+
+
+@pytest.fixture(scope="module")
+def pair():
+    rng = np.random.default_rng(42)
+    n = 8 * 600
+    syms = ["aa", "bb", "cc", "dd"]
+    rows = [(int(k), float(v), int(b), syms[int(s)]) for k, v, b, s in zip(
+        rng.integers(1, 50, n), rng.random(n).round(6),
+        rng.integers(-100, 100, n), rng.integers(0, 4, n))]
+
+    def load(db):
+        db.execute("CREATE TABLE s(k INT, v DOUBLE, b INT, sym VARCHAR(4))")
+        db.catalog.get("s").append_rows(rows)
+        db.place_table(db.catalog.get("s"))
+
+    s1 = aq.connect()
+    load(s1)
+    s8 = aq.connect(mesh=8)
+    load(s8)
+    return s1, s8
+
+
+TOPK_QUERIES = [
+    "SELECT k, v FROM s ORDER BY v LIMIT 20",
+    "SELECT k, v FROM s WHERE v > 0.5 ORDER BY v DESC LIMIT 17",
+    # expression projections + multi-key order + tiebreak determinism
+    "SELECT k, b * 2 AS b2, v FROM s ORDER BY k, v LIMIT 25",
+    # DESC int key, WHERE over another column
+    "SELECT b, v FROM s WHERE k < 25 ORDER BY b DESC, v LIMIT 30",
+    # string projection passthrough + string ORDER BY via rank LUT
+    "SELECT sym, v FROM s ORDER BY sym, v LIMIT 21",
+    # LIMIT without ORDER BY: first-L in table order
+    "SELECT k, v FROM s LIMIT 10",
+    # LIMIT larger than the filtered row count
+    "SELECT k, v FROM s WHERE v > 0.999 ORDER BY v LIMIT 100",
+]
+
+
+@pytest.mark.parametrize("q", TOPK_QUERIES)
+def test_dist_topk_matches_single_chip(pair, q):
+    s1, s8 = pair
+    r1, r8 = s1.execute(q), s8.execute(q)
+    assert r1.column_names() == r8.column_names()
+    rows1, rows8 = r1.rows(), r8.rows()
+    assert len(rows1) == len(rows8), (q, len(rows1), len(rows8))
+    for a, b in zip(rows1, rows8):
+        for x, y in zip(a, b):
+            if isinstance(x, float):
+                assert y == pytest.approx(x, rel=1e-12), (q, a, b)
+            else:
+                assert x == y, (q, a, b)
+
+
+def test_dist_topk_spmd_counted(pair):
+    s1, s8 = pair
+    sp0 = s8.stats.dist_spmd
+    s8.execute("SELECT k, v FROM s ORDER BY v LIMIT 9")
+    assert s8.stats.dist_spmd == sp0 + 1
+
+
+def test_dist_topk_oracle(pair):
+    """Exact top-k against the NumPy oracle."""
+    s1, s8 = pair
+    tbl = s1.catalog.get("s")
+    n = tbl.nrows
+    v = np.asarray(tbl.columns["v"].data[:n])
+    k = np.asarray(tbl.columns["k"].data[:n])
+    r = s8.execute("SELECT k, v FROM s ORDER BY v LIMIT 12")
+    order = np.lexsort((np.arange(n), v))[:12]
+    want = [(int(k[i]), float(v[i])) for i in order]
+    got = [(a, b) for a, b in r.rows()]
+    assert got == pytest.approx(want)

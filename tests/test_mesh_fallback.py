@@ -49,8 +49,6 @@ FALLBACK_QUERIES = [
     # scalar subquery shape: union
     "SELECT k, count(*) FROM f GROUP BY k UNION ALL "
     "SELECT 999, count(*) FROM f",
-    # ungrouped ORDER BY row projection
-    "SELECT b, v FROM f WHERE v > 0.9 ORDER BY v LIMIT 15",
 ]
 
 
@@ -72,8 +70,21 @@ def test_mesh_fallback_equals_single_chip(pair, q):
 def test_fallbacks_are_counted(pair):
     _, s8 = pair
     fb0 = s8.stats.dist_fallback
-    s8.execute("SELECT b, v FROM f WHERE v > 0.9 ORDER BY v LIMIT 5")
+    s8.execute("SELECT f.b, d.w FROM f, d WHERE f.k = d.k "
+               "ORDER BY f.b, d.w LIMIT 5")
     assert s8.stats.dist_fallback == fb0 + 1
+
+
+def test_topk_scan_runs_spmd(pair):
+    """Ungrouped ORDER BY … LIMIT runs the distributed top-k tier
+    (round-4; was a fallback class — engine/dist_scan.py)."""
+    s1, s8 = pair
+    sp0 = s8.stats.dist_spmd
+    q = "SELECT b, v FROM f WHERE v > 0.9 ORDER BY v LIMIT 15"
+    r1, r8 = s1.execute(q), s8.execute(q)
+    assert s8.stats.dist_spmd == sp0 + 1, (
+        s8.stats.dist_fallback_reasons[-2:])
+    assert r1.rows() == r8.rows()
 
 
 def test_distinct_runs_spmd(pair):

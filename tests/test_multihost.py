@@ -126,7 +126,12 @@ want9 = [(s, int(v[si == j].sum()), int((si == j).sum()))
          for j, s in enumerate(syms)]
 assert r9.rows() == want9, (r9.rows(), want9[:2])
 
-assert db.stats.dist_spmd >= 9 and db.stats.dist_fallback == 0, (
+# distributed top-k scan (replicated merge — multi-process safe)
+r10 = db.execute("SELECT k, v FROM t ORDER BY v DESC LIMIT 7")
+want10 = sorted(range(n), key=lambda i: (-v[i], i))[:7]
+assert r10.rows() == [(int(k[i]), int(v[i])) for i in want10], r10.rows()
+
+assert db.stats.dist_spmd >= 10 and db.stats.dist_fallback == 0, (
     db.stats.dist_spmd, db.stats.dist_fallback_reasons)
 print(f"MULTIHOST_OK {pid}", flush=True)
 """
