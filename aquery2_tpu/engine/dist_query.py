@@ -237,8 +237,8 @@ def run_ungrouped(session, sel: A.Select, table: Table) -> Table | None:
     session.note_spmd()
 
     lbounds = fg.lane_bounds(scatters, cols)
-    from aquery2_tpu.ops.reduce import _digits_for_bound
-    bounds_fp = tuple(sorted((t, _digits_for_bound(b))
+    from aquery2_tpu.ops.reduce import _digits_for_bound, bound_bucket
+    bounds_fp = tuple(sorted((t, _digits_for_bound(b), bound_bucket(b))
                              for t, b in lbounds.items()))
     fingerprint = ("dist-ungrouped", ndev, has_sv,
                    repr([pr[1] for pr in projections]), repr(sel.where),
@@ -302,9 +302,10 @@ def _run_dense(session, table, p, col_order, arrays, fingerprint, n,
     key_dtypes = [cols[kn].data.dtype for kn in key_names]
 
     lbounds = fg.lane_bounds(scatters, cols)
-    from aquery2_tpu.ops.reduce import _digits_for_bound
+    from aquery2_tpu.ops.reduce import _digits_for_bound, bound_bucket
     fingerprint = fingerprint + (tuple(sorted(
-        (t, _digits_for_bound(b)) for t, b in lbounds.items())),)
+        (t, _digits_for_bound(b), bound_bucket(b))
+        for t, b in lbounds.items())),)
     entry = _cache.get(fingerprint)
     if entry is None:
         nspec = len(arrays)

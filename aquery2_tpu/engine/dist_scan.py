@@ -145,16 +145,22 @@ def try_run(session, sel: A.Select) -> Table | None:
         return None
     blk = cap // ndev
     L = config.bucket_size(max(min(sel.limit, blk), 8))
+    # Output slice: the merge holds ndev·L candidates, which always cover
+    # the global top-min(limit, ndev·L) (limit ≤ blk ⇒ L ≥ limit per
+    # shard; limit > blk ⇒ L ≥ blk keeps every shard row). Slicing to L
+    # alone silently truncated results whenever limit > blk (ADVICE r4).
+    Lout = min(config.bucket_size(max(min(sel.limit, ndev * L), 8)),
+               ndev * L)
     session.note_spmd()
 
-    fingerprint = ("dist-scan", ndev, L,
+    fingerprint = ("dist-scan", ndev, L, Lout,
                    repr([(nm, e) for nm, e in projections]), repr(where),
                    repr(order), tuple(lut_names),
                    tuple((a.shape[0], str(a.dtype)) for a in arrays))
     entry = _cache.get(fingerprint)
     if entry is None:
         entry = _build(projections, where, order, lut_names, col_order,
-                       mesh, axis, ndev, blk, cap, L)
+                       mesh, axis, ndev, blk, cap, L, Lout)
         _cache[fingerprint] = entry
 
     sharded = [_shard(mesh, axis, a) for a in arrays]
@@ -185,7 +191,7 @@ def try_run(session, sel: A.Select) -> Table | None:
 
 
 def _build(projections, where, order, lut_names, col_order, mesh, axis,
-           ndev, blk, cap, L):
+           ndev, blk, cap, L, Lout):
     def fused(nn, luts_in, *arrs):
         nspec = len(arrs)
         nproj = len(projections)
@@ -240,8 +246,8 @@ def _build(projections, where, order, lut_names, col_order, mesh, axis,
         merged = jax.lax.sort(list(lanes), num_keys=2 + nord,
                               is_stable=False)
         rep = lambda x: jax.lax.with_sharding_constraint(       # noqa
-            x[:L], jax.sharding.NamedSharding(mesh, P()))
+            x[:Lout], jax.sharding.NamedSharding(mesh, P()))
         return [rep(x) for x in merged[2 + nord:]], jnp.minimum(
-            cnt, jnp.int64(L))
+            cnt, jnp.int64(Lout))
 
     return jax.jit(fused)

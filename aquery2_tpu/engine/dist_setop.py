@@ -122,6 +122,13 @@ def _run(session, left: Table, right: Table | None, kind: str):
     mesh = session.mesh
     axis = session.mesh_axis
     ndev = mesh.shape[axis]
+    if jax.process_count() > 1:
+        # _combined builds a host-side concatenation of both inputs and
+        # keep_idx comes back P(axis): both assume every shard is
+        # addressable from this controller (ADVICE r4). Multi-process
+        # runs take the host path via the session's fallback.
+        session.note_dist_bail("set op: host assembly is single-process")
+        return None
     c = _combined(session, left, right)
     if c is None:
         return None

@@ -421,7 +421,11 @@ def _build(p, cols, mesh, axis, ndev, blk, bcap):
                     if a.dtype == jnp.bool_:
                         a = a.astype(jnp.int8)
                     if not o.ascending:
-                        a = -a
+                        # ~a (not -a) for integer kinds: bitwise-not
+                        # reverses order exactly for unsigned keys and
+                        # at INT_MIN, where negation wraps (ADVICE r4;
+                        # same idiom as dist_scan)
+                        a = ~a if a.dtype.kind in "iu" else -a
                     ops.append(jnp.where(
                         okr, a, jnp.asarray(fg._sentinel_max(a.dtype),
                                             a.dtype)))

@@ -696,7 +696,10 @@ class EvalContext:
         keys: list[jax.Array] = []
         for v, asc in reversed(order_vals):
             d = orderable(v)
-            keys.append(d if asc else -d)
+            # DESC: ~d for integer kinds (exact for unsigned/INT_MIN
+            # where -d wraps, ADVICE r4); -d only for floats
+            keys.append(d if asc else
+                        (~d if d.dtype.kind in "iu" else -d))
             if v.nulls is not None:
                 keys.append(v.nulls)
         for v in reversed(part_vals):

@@ -921,8 +921,8 @@ def run(session, sel: A.Select, table: Table) -> Table | None:
     # DERIVED digit counts (stable across appends until a lane actually
     # needs another digit — avoids recompiling on every stats change)
     lbounds = lane_bounds(scatters, cols)
-    from aquery2_tpu.ops.reduce import _digits_for_bound
-    bounds_fp = tuple(sorted((t, _digits_for_bound(b))
+    from aquery2_tpu.ops.reduce import _digits_for_bound, bound_bucket
+    bounds_fp = tuple(sorted((t, _digits_for_bound(b), bound_bucket(b))
                              for t, b in lbounds.items()))
 
     fingerprint = (

@@ -18,13 +18,19 @@ compile path.
 
 from __future__ import annotations
 
-_MARKERS = ("mosaic", "pallas", "remote_compile", "failed_precondition",
-            "mlirerror", "invalid type")
+# Mosaic/Pallas-specific markers only: broad runtime strings like
+# "failed_precondition" / "invalid type" can appear in genuine engine
+# bugs, and matching them would silently disable Pallas and mask the bug
+# for the session (ADVICE r4). A real remote-Mosaic failure always names
+# the subsystem ("Mosaic failed to compile", "pallas_call",
+# "remote_compile HTTP ...").
+_MARKERS = ("mosaic", "pallas", "remote_compile", "remote compile")
 
 
 def is_pallas_failure(e: BaseException) -> bool:
-    """Heuristic: does this exception look like a Pallas/Mosaic compile
-    failure (vs a genuine engine bug)?"""
+    """Does this exception name the Pallas/Mosaic compile path? Plain
+    Python errors (TypeError from a kernel, assertion failures) do NOT
+    match — those are engine bugs that must surface, not be retried."""
     from aquery2_tpu import config
 
     if not config.use_pallas:
@@ -33,7 +39,7 @@ def is_pallas_failure(e: BaseException) -> bool:
     return any(m in txt for m in _MARKERS)
 
 
-def disable_pallas_and_clear() -> None:
+def disable_pallas_and_clear(cause: BaseException | None = None) -> None:
     """Sticky fallback: no further Pallas tracing this process; drop
     every traced-entry cache so retries rebuild pure-XLA programs."""
     import logging
@@ -49,4 +55,5 @@ def disable_pallas_and_clear() -> None:
         mod._cache.clear()
     logging.getLogger("aquery2_tpu").warning(
         "Pallas compile failed (remote Mosaic service); retrying on "
-        "pure-XLA kernels for the rest of this process")
+        "pure-XLA kernels for the rest of this process",
+        exc_info=cause)

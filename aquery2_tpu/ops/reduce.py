@@ -89,6 +89,18 @@ def _digits_for_bound(bound: int) -> int:
     return nd
 
 
+def bound_bucket(bound: int) -> int:
+    """Stat bound rounded up to the next power of two.
+
+    Cache soundness (ADVICE r4): compiled entries bake in max_digit
+    (→ acc dtype, chunk, Pallas steps_per_sb) from the bound, but
+    callers fingerprint on derived quantities. Fingerprinting AND
+    deriving max_digit from the pow2 bucket makes the baked decisions
+    valid for every bound that maps to the same cache entry, while
+    still amortizing recompiles to ≤ log2(bound) per lane."""
+    return 1 << max(int(bound) - 1, 0).bit_length()
+
+
 def _ndigits_for(tag: str, dt, bound: int | None = None) -> int:
     """Digits needed per lane; static per (tag, dtype, stats bound).
 
@@ -194,7 +206,10 @@ def _digit_mag(t, dt, nd, bounds) -> int:
     if dt == jnp.bool_:
         return 1
     if nd == 1 and t in bounds:
-        return max(int(bounds[t]), 1)         # values ARE the digits
+        # values ARE the digits; pow2 bucket so the cached entry's
+        # acc-dtype/chunk choices stay valid as appends grow the bound
+        # within the same bucket (fingerprints use the same bucket)
+        return min(bound_bucket(max(int(bounds[t]), 1)), _DIGIT_BASE // 2)
     if dt.kind != "f" and dt.itemsize > 4 and nd > 5:
         return _DIGIT_BASE - 1                # uint lo/mid limb digits
     return _DIGIT_BASE // 2                   # balanced digits

@@ -152,9 +152,13 @@ class Session:
                     # pure-XLA fallback + one retry (engine/recover.py)
                     from aquery2_tpu.engine import recover
 
-                    if not recover.is_pallas_failure(e):
+                    # only auto-retry side-effect-free statements: a
+                    # partially-executed DML/DDL re-run would repeat its
+                    # effects (ADVICE r4)
+                    if not recover.is_pallas_failure(e) or \
+                            not isinstance(stmt, A.Select):
                         raise
-                    recover.disable_pallas_and_clear()
+                    recover.disable_pallas_and_clear(e)
                     r = self.executor.execute(stmt)
                 if r is not None:
                     last = r

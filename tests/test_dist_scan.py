@@ -42,6 +42,9 @@ TOPK_QUERIES = [
     "SELECT k, v FROM s LIMIT 10",
     # LIMIT larger than the filtered row count
     "SELECT k, v FROM s WHERE v > 0.999 ORDER BY v LIMIT 100",
+    # LIMIT larger than one shard's block (ADVICE r4: the merge holds
+    # every candidate but the output slice truncated to one block)
+    "SELECT k, v FROM s ORDER BY v LIMIT 2000",
 ]
 
 
@@ -65,6 +68,19 @@ def test_dist_topk_spmd_counted(pair):
     sp0 = s8.stats.dist_spmd
     s8.execute("SELECT k, v FROM s ORDER BY v LIMIT 9")
     assert s8.stats.dist_spmd == sp0 + 1
+
+
+def test_dist_topk_limit_beyond_block(pair):
+    """LIMIT > rows-per-shard must return LIMIT rows, not one block
+    (ADVICE r4 high): with 4800 rows on 8 devices (blk ≤ 1024), LIMIT
+    2000 used to come back truncated to ~1024 rows."""
+    s1, s8 = pair
+    sp0 = s8.stats.dist_spmd
+    q = "SELECT k, v FROM s ORDER BY v, k LIMIT 2000"
+    r1, r8 = s1.execute(q), s8.execute(q)
+    assert s8.stats.dist_spmd == sp0 + 1
+    assert len(r8.rows()) == len(r1.rows()) == 2000
+    assert r8.rows() == pytest.approx(r1.rows())
 
 
 def test_dist_topk_oracle(pair):

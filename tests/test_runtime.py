@@ -194,3 +194,44 @@ def test_engine_backend_switch_subprocess():
                          env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert out.returncode == 0, out.stderr[-2000:]
     assert "2 | 5" in out.stdout
+
+
+# --------------------------------------------------------------------- #
+# Pallas compile-failure recovery classification (engine/recover.py)
+# --------------------------------------------------------------------- #
+
+def test_recover_plain_errors_do_not_flip_pallas():
+    """ADVICE r4: broad markers ("failed_precondition", "invalid type")
+    misclassified genuine engine bugs as Mosaic failures and silently
+    disabled Pallas. Only Mosaic/Pallas-specific text qualifies."""
+    from aquery2_tpu import config
+    from aquery2_tpu.engine import recover
+
+    old = config.use_pallas
+    config.use_pallas = True
+    try:
+        for e in (TypeError("invalid type promotion int32 vs float64"),
+                  RuntimeError("FAILED_PRECONDITION: buffer mismatch"),
+                  ValueError("MLIRError: something unrelated"),
+                  KeyError("v1")):
+            assert not recover.is_pallas_failure(e), e
+        for e in (RuntimeError("Mosaic failed to compile module"),
+                  RuntimeError("INTERNAL: remote_compile HTTP 500"),
+                  Exception("error lowering pallas_call kernel")):
+            assert recover.is_pallas_failure(e), e
+    finally:
+        config.use_pallas = old
+
+
+def test_bound_bucket_monotone_pow2():
+    """Cache-fingerprint soundness helper (ADVICE r4): pow2 round-up."""
+    from aquery2_tpu.ops.reduce import bound_bucket
+
+    assert bound_bucket(0) == 1
+    assert bound_bucket(1) == 1
+    assert bound_bucket(5) == 8
+    assert bound_bucket(8) == 8
+    assert bound_bucket(33) == 64
+    assert bound_bucket(63) == 64
+    for b in range(1, 300):
+        assert bound_bucket(b) >= b
