@@ -537,12 +537,6 @@ def run_ordered(session, sel: A.Select, table: Table) -> Table | None:
     row_projs = [(expr, _subvec_width(expr))
                  for kindp, expr, _ in p["projections"] if kindp == "row"]
     dense_mode = all(w is not None for _, w in row_projs)
-    if not dense_mode and jax.process_count() > 1:
-        # _assemble_ordered pulls P(axis)-sharded ragged buffers to host,
-        # which needs every shard addressable — single-controller only
-        session.note_dist_bail("ordered tier with unbounded row outputs "
-                               "is single-process only")
-        return None
     if dense_mode:
         return _run_ordered_dense(session, sel, table, p)
 
@@ -969,6 +963,15 @@ def _build_ordered(p, col_order, null_order, codec, scatters, mesh, axis,
                     jax.lax.psum(ndrop.astype(jnp.int64), axis))
 
         res = local(nn, *arrs)
+        if jax.process_count() > 1:
+            # multi-controller (VERDICT r4 #1): host assembly runs in
+            # EVERY process, so the per-shard group/ragged lanes
+            # replicate in-program (one all-gather — the unbounded
+            # result's materialization cost) instead of requiring every
+            # shard to be addressable from one controller
+            repf = lambda x: jax.lax.with_sharding_constraint(  # noqa
+                x, jax.sharding.NamedSharding(mesh, P()))
+            res = tuple(repf(x) for x in res[:-1]) + (res[-1],)
         return res[:-2], res[-2], res[-1]
 
     return jax.jit(fused)

@@ -323,13 +323,6 @@ def try_run(session, sel: A.Select, table: Table) -> Table | None:
     ndev = mesh.shape[axis]
     if ndev <= 1:
         return None
-    if jax.process_count() > 1:
-        # host assembly pulls P(axis)-sharded row outputs — the output
-        # is O(rows), so only the single-controller runtime (which can
-        # address every shard) assembles it
-        session.note_dist_bail("window tier host assembly is "
-                               "single-process only")
-        return None
     p = _plan(session, sel, table)
     if p is None:
         return None
@@ -358,7 +351,7 @@ def try_run(session, sel: A.Select, table: Table) -> Table | None:
             entry = _build(p, cols, mesh, axis, ndev, blk, bcap)
             _cache[fingerprint] = entry
         session._last_spmd = (entry, (n, *sharded))   # comm accounting
-        idx_all, outs, nulls_all, dropped = entry(n, *sharded)
+        keep, outs, nulls_all, okeys, dropped = entry(n, *sharded)
         if int(dropped) == 0:
             break
         bcap *= 2
@@ -366,7 +359,7 @@ def try_run(session, sel: A.Select, table: Table) -> Table | None:
         session.note_dist_bail("shuffle overflow persists")
         return None
 
-    return _assemble(session, p, cols, idx_all, outs, nulls_all)
+    return _assemble(session, p, cols, keep, outs, nulls_all, okeys)
 
 
 def _build(p, cols, mesh, axis, ndev, blk, bcap):
@@ -374,16 +367,23 @@ def _build(p, cols, mesh, axis, ndev, blk, bcap):
     codec = p["codec"]
     ngl = codec.nsort
     m = ndev * bcap
+    # outer-ORDER-BY row expressions over source columns are computed
+    # in-program (extra write-back lanes) so assembly never touches the
+    # row-sharded source columns — the multi-process contract
+    order_exprs = [what for kind, what, _asc in p["order_by"]
+                   if kind == "expr"]
 
     def fused(nn, *arrs):
         nspec = len(arrs)
         nproj = len(p["projections"])
+        nord = len(order_exprs)
 
         @partial(shard_map, mesh=mesh,
                  in_specs=(P(), *([P(axis)] * nspec)),
-                 out_specs=((P(axis),)                  # global row idx
+                 out_specs=((P(axis),)                  # row keep mask
                             + (P(axis),) * nproj        # projections
                             + (P(axis),) * nproj        # null masks
+                            + (P(axis),) * nord         # order-key lanes
                             + (P(),)))                  # dropped
         def local(nn_, *blocks):
             d = jax.lax.axis_index(axis).astype(jnp.int32)
@@ -476,14 +476,50 @@ def _build(p, cols, mesh, axis, ndev, blk, bcap):
                 projs[pi] = v
                 nulls[pi] = jnp.zeros((m,), jnp.bool_)
 
-            out_idx = jnp.where(okr, gidx_r, jnp.int32(-1))
-            return (out_idx, *projs, *nulls,
+            okeys = []
+            for e in order_exprs:
+                v = fg._row_eval(e, env)
+                if not hasattr(v, "shape") or v.ndim == 0:
+                    v = jnp.broadcast_to(jnp.asarray(v), (m,))
+                okeys.append(v)
+
+            # inverse shuffle (VERDICT r4 #1): the forward exchange sent
+            # bucket [o→r] positionally, so a second all_to_all of the
+            # receive-domain [ndev, bcap] lanes returns every computed
+            # row to its ORIGIN shard in that shard's own pack layout —
+            # no overflow possible. Scattering at gidx-d·blk yields
+            # row-aligned P(axis) outputs: each process holds exactly
+            # its table shard's result rows, like the source columns.
+            inv = lambda x: jax.lax.all_to_all(          # noqa: E731
+                x.reshape(ndev, bcap), axis, 0, 0, tiled=False).reshape(-1)
+            gidx_b = inv(gidx_r)
+            ok_b = inv(okr)
+            slot = jnp.where(ok_b, gidx_b - d * blk, jnp.int32(blk))
+
+            def scat(x, fill=None):
+                z = (jnp.zeros((blk + 1,), x.dtype) if fill is None
+                     else jnp.full((blk + 1,), fill, x.dtype))
+                return z.at[slot].set(inv(x))[:blk]
+
+            keep = jnp.zeros((blk + 1,), jnp.bool_).at[slot].set(
+                ok_b)[:blk]
+            projs = [scat(x) for x in projs]
+            nulls = [scat(x) for x in nulls]
+            okeys = [scat(x) for x in okeys]
+            return (keep, *projs, *nulls, *okeys,
                     jax.lax.psum(ndrop.astype(jnp.int64), axis))
 
         res = local(nn, *arrs)
         nproj = len(p["projections"])
+        if jax.process_count() > 1:
+            # multi-controller: assembly happens in every process, so
+            # the O(rows) outputs replicate (one all-gather — the
+            # result materialization cost itself)
+            repf = lambda x: jax.lax.with_sharding_constraint(  # noqa
+                x, jax.sharding.NamedSharding(mesh, P()))
+            res = tuple(repf(x) for x in res[:-1]) + (res[-1],)
         return (res[0], res[1:1 + nproj], res[1 + nproj:1 + 2 * nproj],
-                res[-1])
+                res[1 + 2 * nproj:1 + 2 * nproj + nord], res[-1])
 
     return jax.jit(fused)
 
@@ -594,15 +630,17 @@ def _arg_value(a: A.Expr, env_s, m):
     return v
 
 
-def _assemble(session, p, cols, idx_all, outs, nulls_all):
-    """Per-shard sorted-domain outputs → Table in input row order."""
+def _assemble(session, p, cols, keep_mask, outs, nulls_all, okeys):
+    """Row-aligned write-back outputs → Table in input row order. The
+    keep mask and every lane arrive aligned with the source rows (the
+    in-program inverse shuffle did the reordering), so assembly is a
+    boolean compaction — no argsort, and multi-process safe (the lanes
+    are replicated under multi-controller runs)."""
     from aquery2_tpu.engine.executor import (_derive_name, _limit_table,
                                              _sort_key_of, _take_table)
     from aquery2_tpu.ops.sort import sort_perm
 
-    gidx = np.asarray(idx_all)
-    keep = gidx >= 0
-    order = np.argsort(gidx[keep], kind="stable")
+    keep = np.asarray(keep_mask)
     n_out = int(keep.sum())
 
     out = Table.__new__(Table)
@@ -619,8 +657,8 @@ def _assemble(session, p, cols, idx_all, outs, nulls_all):
             name = f"{name}_{used[lk]}"
         else:
             used[lk] = 0
-        data = np.asarray(arr)[keep][order]
-        nls = np.asarray(nl)[keep][order]
+        data = np.asarray(arr)[keep]
+        nls = np.asarray(nl)[keep]
         valid = ~nls if nls.any() else None
         sqltype, dictionary = _proj_type(kindp, wi, expr, p, cols, data)
         out.columns[name] = Column(name, sqltype, data, nrows=n_out,
@@ -628,16 +666,16 @@ def _assemble(session, p, cols, idx_all, outs, nulls_all):
 
     if p["order_by"] and n_out:
         names = out.column_names()
-        gidx_kept = gidx[keep][order]       # source rows, output order
         skeys = []
+        oi = 0
         for kind, what, asc in p["order_by"]:
             if kind == "col":
                 skeys.append((jnp.asarray(
                     _sort_key_of(out.columns[names[what]], n_out)), asc))
-            else:       # row expr over source columns at the kept rows
-                env = {nm: np.asarray(cols[nm].data)[gidx_kept]
-                       for nm in p["col_order"]}
-                skeys.append((jnp.asarray(fg._row_eval(what, env)), asc))
+            else:       # in-program order-key lane (write-back aligned)
+                skeys.append((jnp.asarray(np.asarray(okeys[oi])[keep]),
+                              asc))
+                oi += 1
         perm = np.asarray(sort_perm(skeys, n_out))[:n_out]
         out = _take_table(out, perm)
     if p["limit"] is not None:

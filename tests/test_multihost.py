@@ -131,7 +131,32 @@ r10 = db.execute("SELECT k, v FROM t ORDER BY v DESC LIMIT 7")
 want10 = sorted(range(n), key=lambda i: (-v[i], i))[:7]
 assert r10.rows() == [(int(k[i]), int(v[i])) for i in want10], r10.rows()
 
-assert db.stats.dist_spmd >= 10 and db.stats.dist_fallback == 0, (
+# OVER window across 2 processes (round 5: in-program inverse-shuffle
+# write-back; O(rows) output, previously single-process only).
+# Default frame = RANGE UNBOUNDED..CURRENT: peers (equal v) included.
+r11 = db.execute("SELECT k, v, sum(v) OVER (PARTITION BY k ORDER BY v) "
+                 "AS rs FROM t")
+got11 = r11.rows()
+assert len(got11) == n
+for kk, vv, rs in got11[:500]:
+    assert rs == int(v[(k == kk) & (v <= vv)].sum()), (kk, vv, rs)
+
+# running-sums trades query (reference aggregations.h:127-330 class)
+# across 2 processes: unbounded ordered tier, replicated assembly
+ts = rng.permutation(n)
+db.execute("CREATE TABLE tr(k INT, ts INT, v INT)")
+db.catalog.get("tr").append_rows(
+    [(int(a), int(b), int(c)) for a, b, c in zip(k, ts, v)])
+db.place_table(db.catalog.get("tr"))
+r12 = db.execute("SELECT k, sums(v) AS s FROM tr ASSUMING ASC ts "
+                 "GROUP BY k")
+got12 = r12.rows()
+assert len(got12) == len(np.unique(k))
+for kk, s in got12:
+    vv = v[k == kk][np.argsort(ts[k == kk], kind="stable")]
+    assert list(s) == [int(x) for x in np.cumsum(vv)], (kk, s[:4])
+
+assert db.stats.dist_spmd >= 12 and db.stats.dist_fallback == 0, (
     db.stats.dist_spmd, db.stats.dist_fallback_reasons)
 print(f"MULTIHOST_OK {pid}", flush=True)
 """
