@@ -96,13 +96,21 @@ def try_run(session, sel: A.Select) -> Table | None:
         return None
     aliases = [(s.alias or s.name).lower() for s in sources]
 
-    # aggregation shapes only: GROUP BY, or every projection an aggregate
+    # shapes: GROUP BY / all-aggregate projections (→ dist_query over
+    # the joined buffers), or pure row projections (→ dist_scan over
+    # them: top-k merge or unbounded row-aligned lanes — round 5,
+    # VERDICT r4 #6). Mixed agg+row ungrouped shapes stay general.
     from aquery2_tpu.engine.fused_star import _contains_agg
 
+    row_projection = False
     if not sel.group_by:
-        if not sel.projections or not all(
-                not isinstance(p.expr, A.Star) and _contains_agg(p.expr)
-                for p in sel.projections):
+        if not sel.projections or any(isinstance(p.expr, A.Star)
+                                      for p in sel.projections):
+            return None
+        n_agg = sum(_contains_agg(p.expr) for p in sel.projections)
+        if n_agg == 0:
+            row_projection = True
+        elif n_agg != len(sel.projections):
             return None
 
     def side_of(ref: A.ColumnRef):
@@ -290,8 +298,10 @@ def try_run(session, sel: A.Select) -> Table | None:
         projections=list(new_projs), having=new_having,
         order_by=list(new_order))
 
-    from aquery2_tpu.engine import dist_query
+    from aquery2_tpu.engine import dist_query, dist_scan
 
     if new_sel.group_by:
         return dist_query.run(session, new_sel, tmp)
+    if row_projection:
+        return dist_scan.try_run(session, new_sel, table=tmp)
     return dist_query.run_ungrouped(session, new_sel, tmp)

@@ -41,7 +41,20 @@ _cache: dict[tuple, Any] = {}
 _MAX_LIMIT = 1 << 17        # top-k merge stays ndev·L ≪ rows
 
 
-def try_run(session, sel: A.Select) -> Table | None:
+def try_run(session, sel: A.Select, table: Table | None = None) -> Table | None:
+    """Distributed projection scans. Two modes:
+
+    * top-k (ORDER BY … LIMIT ≤ _MAX_LIMIT): per-shard local top-L +
+      one replicated merge (round 4).
+    * unbounded (no LIMIT, or LIMIT past the merge cap): row-aligned
+      projection lanes + keep mask, evaluated shard-locally with no
+      collectives; host assembly compacts/sorts, and the lanes
+      replicate in-program under multi-controller runs (round 5 — the
+      same write-back contract as the window tier).
+
+    ``table`` may be passed directly (the joined row-sharded tmp of
+    engine/dist_join_query.py — its ragged ``shard_valid`` mask is
+    threaded through as an extra validity lane)."""
     mesh = getattr(session, "mesh", None)
     if mesh is None:
         return None
@@ -52,13 +65,14 @@ def try_run(session, sel: A.Select) -> Table | None:
     if (sel.group_by or sel.assumptions or sel.distinct or sel.unions
             or sel.having or sel.into_outfile):
         return None
-    if sel.limit is None or sel.limit > _MAX_LIMIT:
-        return None          # O(n) ordered output: fallback assembles
-    if len(sel.sources) != 1 or not isinstance(sel.sources[0], A.TableSource):
-        return None
-    if sel.sources[0].name not in session.catalog:
-        return None
-    table = session.catalog.get(sel.sources[0].name)
+    if table is None:
+        if len(sel.sources) != 1 \
+                or not isinstance(sel.sources[0], A.TableSource):
+            return None
+        if sel.sources[0].name not in session.catalog:
+            return None
+        table = session.catalog.get(sel.sources[0].name)
+    unbounded = sel.limit is None or sel.limit > _MAX_LIMIT
     cols = table.columns
     n = table.nrows
     if n == 0:
@@ -139,11 +153,24 @@ def try_run(session, sel: A.Select) -> Table | None:
     lut_names = sorted(luts)
 
     arrays = [cols[nm].data for nm in col_order]
+    if not arrays:
+        session.note_dist_bail("no referenced columns in distributed scan")
+        return None
+    shard_valid = getattr(table, "shard_valid", None)
+    if shard_valid is not None:
+        arrays = arrays + [shard_valid]
+    has_sv = shard_valid is not None
     cap = int(arrays[0].shape[0])
     if cap % ndev:
         session.note_dist_bail("capacity not divisible by mesh size")
         return None
     blk = cap // ndev
+
+    if unbounded:
+        return _run_unbounded(session, sel, table, projections, where,
+                              order, lut_names, luts, col_order, has_sv,
+                              arrays, mesh, axis, ndev, blk, cap, n)
+
     L = config.bucket_size(max(min(sel.limit, blk), 8))
     # Output slice: the merge holds ndev·L candidates, which always cover
     # the global top-min(limit, ndev·L) (limit ≤ blk ⇒ L ≥ limit per
@@ -153,14 +180,14 @@ def try_run(session, sel: A.Select) -> Table | None:
                ndev * L)
     session.note_spmd()
 
-    fingerprint = ("dist-scan", ndev, L, Lout,
+    fingerprint = ("dist-scan", ndev, L, Lout, has_sv,
                    repr([(nm, e) for nm, e in projections]), repr(where),
                    repr(order), tuple(lut_names),
                    tuple((a.shape[0], str(a.dtype)) for a in arrays))
     entry = _cache.get(fingerprint)
     if entry is None:
         entry = _build(projections, where, order, lut_names, col_order,
-                       mesh, axis, ndev, blk, cap, L, Lout)
+                       mesh, axis, ndev, blk, cap, L, Lout, has_sv)
         _cache[fingerprint] = entry
 
     sharded = [_shard(mesh, axis, a) for a in arrays]
@@ -191,7 +218,7 @@ def try_run(session, sel: A.Select) -> Table | None:
 
 
 def _build(projections, where, order, lut_names, col_order, mesh, axis,
-           ndev, blk, cap, L, Lout):
+           ndev, blk, cap, L, Lout, has_sv=False):
     def fused(nn, luts_in, *arrs):
         nspec = len(arrs)
         nproj = len(projections)
@@ -206,6 +233,8 @@ def _build(projections, where, order, lut_names, col_order, mesh, axis,
             gidx = d * blk + jnp.arange(blk, dtype=jnp.int32)
             env = dict(zip(col_order, blocks))
             valid = gidx < nn_
+            if has_sv:
+                valid = valid & blocks[-1]      # joined-tmp ragged rows
             if where is not None:
                 w = fg._row_eval(where, env)
                 if not hasattr(w, "dtype"):
@@ -249,5 +278,115 @@ def _build(projections, where, order, lut_names, col_order, mesh, axis,
             x[:Lout], jax.sharding.NamedSharding(mesh, P()))
         return [rep(x) for x in merged[2 + nord:]], jnp.minimum(
             cnt, jnp.int64(Lout))
+
+    return jax.jit(fused)
+
+
+# --------------------------------------------------------------------- #
+# unbounded mode: O(rows) projection output, row-aligned lanes
+# --------------------------------------------------------------------- #
+
+def _run_unbounded(session, sel, table, projections, where, order,
+                   lut_names, luts, col_order, has_sv, arrays,
+                   mesh, axis, ndev, blk, cap, n):
+    """LIMIT-less (or merge-cap-exceeding) projection scans: evaluate
+    row-aligned lanes shard-locally (no collectives), assemble by
+    boolean compaction + host ORDER BY. Under multi-controller runs the
+    lanes replicate in-program (the result materialization cost)."""
+    from aquery2_tpu.engine.executor import _limit_table, _take_table
+    from aquery2_tpu.ops.sort import sort_perm
+
+    session.note_spmd()
+    fingerprint = ("dist-scan-unbounded", ndev, has_sv,
+                   repr([(nm, e) for nm, e in projections]), repr(where),
+                   repr(order), tuple(lut_names),
+                   tuple((a.shape[0], str(a.dtype)) for a in arrays))
+    entry = _cache.get(fingerprint)
+    if entry is None:
+        entry = _build_unbounded(projections, where, order, lut_names,
+                                 col_order, mesh, axis, ndev, blk, has_sv)
+        _cache[fingerprint] = entry
+    sharded = [_shard(mesh, axis, a) for a in arrays]
+    lut_vals = tuple(luts[nm] for nm in lut_names)
+    session._last_spmd = (entry, (n, lut_vals, *sharded))
+    keep, projs, okeys = entry(n, lut_vals, *sharded)
+
+    cols = table.columns
+    keep_np = np.asarray(keep)
+    m = int(keep_np.sum())
+    out = Table.__new__(Table)
+    out.name = f"result_{base62uuid(4)}"
+    out.columns = CaseInsensitiveDict()
+    out.sorted_by = ()
+    for (nm, e), arr in zip(projections, projs):
+        data = np.asarray(arr)[keep_np]
+        if isinstance(e, A.ColumnRef) and cols[e.name].sqltype.is_string:
+            src = cols[e.name]
+            out.columns[nm] = Column(nm, src.sqltype, data, nrows=m,
+                                     dictionary=src.dictionary)
+        else:
+            st = fs._result_type(e, cols, data)
+            out.columns[nm] = Column(nm, st, data, nrows=m)
+
+    if order and m:
+        skeys = [(jnp.asarray(np.asarray(k)[keep_np]), asc)
+                 for k, (_e, asc) in zip(okeys, order)]
+        perm = np.asarray(sort_perm(skeys, m))[:m]
+        out = _take_table(out, perm)
+    if sel.limit is not None:
+        out = _limit_table(out, sel.limit)
+    if sel.into_table:
+        out.name = sel.into_table
+        session.catalog.create(out, replace=True)
+    return out
+
+
+def _build_unbounded(projections, where, order, lut_names, col_order,
+                     mesh, axis, ndev, blk, has_sv):
+    def fused(nn, luts_in, *arrs):
+        nspec = len(arrs)
+        nproj = len(projections)
+        nord = len(order)
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(), P(), *([P(axis)] * nspec)),
+                 out_specs=((P(axis),) * (1 + nproj + nord)))
+        def local(nn_, luts_l, *blocks):
+            d = jax.lax.axis_index(axis).astype(jnp.int32)
+            gidx = d * blk + jnp.arange(blk, dtype=jnp.int32)
+            env = dict(zip(col_order, blocks))
+            valid = gidx < nn_
+            if has_sv:
+                valid = valid & blocks[-1]      # joined-tmp ragged rows
+            if where is not None:
+                w = fg._row_eval(where, env)
+                if not hasattr(w, "dtype"):
+                    w = jnp.broadcast_to(jnp.asarray(bool(w)), (blk,))
+                if w.dtype != jnp.bool_:
+                    w = w != 0
+                valid = valid & w
+            outs = [valid]
+            for _nm, e in projections:
+                v = fg._row_eval(e, env)
+                if not hasattr(v, "shape") or v.ndim == 0:
+                    v = jnp.broadcast_to(jnp.asarray(v), (blk,))
+                outs.append(v)
+            for e, _asc in order:
+                k = fg._row_eval(e, env)
+                if not hasattr(k, "shape") or k.ndim == 0:
+                    k = jnp.broadcast_to(jnp.asarray(k), (blk,))
+                if isinstance(e, A.ColumnRef) and e.name.lower() in lut_names:
+                    lut = luts_l[lut_names.index(e.name.lower())]
+                    k = lut[jnp.clip(k, 0, lut.shape[0] - 1)]
+                outs.append(k)
+            return tuple(outs)
+
+        res = local(nn, luts_in, *arrs)
+        if jax.process_count() > 1:
+            repf = lambda x: jax.lax.with_sharding_constraint(  # noqa
+                x, jax.sharding.NamedSharding(mesh, P()))
+            res = tuple(repf(x) for x in res)
+        nproj = len(projections)
+        return res[0], res[1:1 + nproj], res[1 + nproj:]
 
     return jax.jit(fused)

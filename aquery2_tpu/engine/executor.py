@@ -370,14 +370,14 @@ class Executor:
                     self.session.catalog.get(sel.sources[0].name))
                 if t is not None:
                     return t
-                # ungrouped ORDER BY … LIMIT: per-shard top-k + ONE
-                # replicated merge sort (engine/dist_scan.py)
-                if sel.order_by and sel.limit is not None:
-                    from aquery2_tpu.engine import dist_scan
+                # ungrouped projection scans: top-k (ORDER BY … LIMIT,
+                # per-shard top-L + ONE replicated merge) or unbounded
+                # (row-aligned lanes, host compaction) — dist_scan.py
+                from aquery2_tpu.engine import dist_scan
 
-                    t = dist_scan.try_run(self.session, sel)
-                    if t is not None:
-                        return t
+                t = dist_scan.try_run(self.session, sel)
+                if t is not None:
+                    return t
             # ungrouped scan-filter-project-order-limit: ONE jitted
             # program, ONE host sync (engine/fused_scan.py)
             from aquery2_tpu.engine import fused_scan

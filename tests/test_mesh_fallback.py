@@ -37,18 +37,29 @@ def pair():
 
 
 # Query classes still running single-chip logic over sharded arrays.
-# (DISTINCT, OVER windows, set ops and outer joins moved OUT of this
-# list in round 4 — they now run SPMD; see test_dist_window.py,
-# test_dist_setop.py and the DISTINCT rewrite in executor.py.)
+# (DISTINCT, OVER windows, set ops and outer joins moved OUT in round
+# 4; row-projection joins and LIMIT-less ordered scans in round 5 —
+# test_dist_window.py, test_dist_setop.py, the DISTINCT rewrite, and
+# dist_join_query→dist_scan row projections.)
 FALLBACK_QUERIES = [
-    # plain row-projection join (no aggregation → general pipeline)
-    "SELECT f.b, d.w FROM f, d WHERE f.k = d.k ORDER BY f.b, d.w LIMIT 30",
     # LIKE-free CASE expression (general eval path)
     "SELECT k, CASE WHEN b > 15 THEN 1 ELSE 0 END AS hi FROM f "
     "ORDER BY k, hi LIMIT 25",
     # scalar subquery shape: union
     "SELECT k, count(*) FROM f GROUP BY k UNION ALL "
     "SELECT 999, count(*) FROM f",
+]
+
+# Round-5 graduates: asserted SPMD below AND equal to single-chip.
+SPMD_QUERIES = [
+    # plain row-projection join → materialized join + dist_scan top-k
+    "SELECT f.b, d.w FROM f, d WHERE f.k = d.k ORDER BY f.b, d.w LIMIT 30",
+    # row-projection join, unbounded (no LIMIT)
+    "SELECT f.b, d.w FROM f, d WHERE f.k = d.k ORDER BY f.b, d.w",
+    # LIMIT-less ordered scan (row-aligned lanes + host sort)
+    "SELECT b, v FROM f WHERE v > 0.8 ORDER BY v, b",
+    # plain unordered projection scan
+    "SELECT k, b + 1 AS b1 FROM f WHERE v > 0.95 ORDER BY k, b1",
 ]
 
 
@@ -70,9 +81,28 @@ def test_mesh_fallback_equals_single_chip(pair, q):
 def test_fallbacks_are_counted(pair):
     _, s8 = pair
     fb0 = s8.stats.dist_fallback
-    s8.execute("SELECT f.b, d.w FROM f, d WHERE f.k = d.k "
-               "ORDER BY f.b, d.w LIMIT 5")
+    s8.execute("SELECT k, CASE WHEN b > 15 THEN 1 ELSE 0 END AS hi "
+               "FROM f ORDER BY k, hi LIMIT 5")
     assert s8.stats.dist_fallback == fb0 + 1
+
+
+@pytest.mark.parametrize("q", SPMD_QUERIES)
+def test_round5_spmd_graduates(pair, q):
+    """Row-projection joins and unbounded ordered scans run SPMD
+    (round 5; were fallback classes) and equal the single-chip engine."""
+    s1, s8 = pair
+    sp0 = s8.stats.dist_spmd
+    r1, r8 = s1.execute(q), s8.execute(q)
+    assert s8.stats.dist_spmd > sp0, (
+        q, s8.stats.dist_fallback_reasons)
+    rows1, rows8 = r1.rows(), r8.rows()
+    assert len(rows1) == len(rows8), (q, len(rows1), len(rows8))
+    for a, b in zip(rows1, rows8):
+        for x, y in zip(a, b):
+            if isinstance(x, float):
+                assert y == pytest.approx(x, rel=1e-9, abs=1e-12), (q, a, b)
+            else:
+                assert x == y, (q, a, b)
 
 
 def test_topk_scan_runs_spmd(pair):
