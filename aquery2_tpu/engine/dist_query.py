@@ -197,7 +197,10 @@ def run_ungrouped(session, sel: A.Select, table: Table) -> Table | None:
                 raise fg.Unsupported("star")
             before = len(aggs)
             fg._collect_aggs(e, cols, aggs)
-            if len(aggs) == before:
+            if len(aggs) == before and fg._refs(e):
+                # constant projections (SELECT 999, count(*)) evaluate
+                # via _post_agg_eval; only COLUMN row projections need
+                # the general pipeline
                 raise fg.Unsupported("row projection in ungrouped agg")
             projections.append(("agg", e, pr.alias))
         if not projections:
@@ -225,6 +228,16 @@ def run_ungrouped(session, sel: A.Select, table: Table) -> Table | None:
 
     arrays = ([_shard(mesh, axis, cols[nm].data) for nm in col_order]
               + [_shard(mesh, axis, cols[nm].valid) for nm in null_order])
+    if not arrays:
+        # column-free shapes (SELECT 999, count(*)): one anchor lane
+        # carries the row domain / sharding (env ignores it)
+        try:
+            anchor = next(c for c in cols.values()
+                          if not getattr(c, "is_vector", False))
+        except StopIteration:
+            session.note_dist_bail("no scalar columns to anchor scan")
+            return None
+        arrays = [_shard(mesh, axis, anchor.data)]
     shard_valid = getattr(table, "shard_valid", None)
     if shard_valid is not None:
         arrays.append(_shard(mesh, axis, shard_valid))
@@ -272,8 +285,11 @@ def run_ungrouped(session, sel: A.Select, table: Table) -> Table | None:
             outs = local(nn, *arrs)
             counts = outs["__counts__"][:1]
             dense = {t: a[:1] for t, a in outs.items()}
-            return [fg._post_agg_eval(expr, dense, counts, None)
-                    for _, expr, _ in projections]
+            res = [fg._post_agg_eval(expr, dense, counts, None)
+                   for _, expr, _ in projections]
+            return [jnp.broadcast_to(jnp.asarray(r), (1,))
+                    if not (hasattr(r, "ndim") and r.ndim) else r
+                    for r in res]
 
         entry = jax.jit(fused)
         _cache[fingerprint] = entry

@@ -67,6 +67,12 @@ def _walk_cols(e, out: set):
         for a in e.args:
             if not isinstance(a, A.Star):
                 _walk_cols(a, out)
+    elif isinstance(e, A.CaseWhen):
+        for cond, val in e.whens:
+            _walk_cols(cond, out)
+            _walk_cols(val, out)
+        if e.default is not None:
+            _walk_cols(e.default, out)
 
 
 def _plan(session, sel: A.Select, table: Table):

@@ -535,7 +535,8 @@ class EvalContext:
             sel = _as_bool(c.data)
             if c.nulls is not None:          # NULL condition never matches
                 sel = sel & ~c.nulls
-            base = acc.data if acc is not None else jnp.zeros((), v.data.dtype)
+            base = (acc.data if acc is not None
+                    else jnp.zeros((), jnp.asarray(v.data).dtype))
             res = jnp.where(sel, v.data, base)
             # unmatched rows with no ELSE are NULL; branch nulls propagate
             nullable = (v.nulls is not None or acc is None

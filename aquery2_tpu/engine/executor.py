@@ -267,6 +267,17 @@ class Executor:
         if sel2 is not None:
             sel = sel2
 
+        # UNION/EXCEPT/INTERSECT containers: execute the main branch as
+        # its own SELECT (riding every fused/SPMD tier) instead of
+        # forcing it down the general pipeline (round 5 — mixed UNION
+        # ALL of independent aggregates was the last always-fallback
+        # class). Declines (None) when an outer ORDER BY key cannot be
+        # resolved against the output columns statically.
+        if sel.unions:
+            t = self._run_union(sel)
+            if t is not None:
+                return t
+
         # fused fast path: grouped aggregation over a single table traces
         # into one XLA program (engine/fused_groupby.py); distributed
         # sessions run the SPMD variant over the mesh (engine/dist_query.py)
@@ -457,6 +468,92 @@ class Executor:
         if sel.limit is not None:
             table = _limit_table(table, sel.limit)
 
+        if sel.into_table:
+            table.name = sel.into_table
+            self.session.catalog.create(table, replace=True)
+        if sel.into_outfile:
+            Result(table).to_csv(
+                self.session.resolve_path(sel.into_outfile),
+                sep=sel.outfile_sep, header=False)
+        return table
+
+    def _run_union(self, sel: A.Select) -> Table | None:
+        """Set-operation container: main branch + every union arm run as
+        independent SELECTs (each takes its own fused/SPMD tier and is
+        accounted separately), then append/set-op/distinct/order/limit
+        here. Returns None if an ORDER BY key needs the general
+        pipeline's row context (not an output column)."""
+        from dataclasses import replace as _replace
+
+        # outer ORDER BY must resolve against output columns statically
+        aliases = {(p.alias or "").lower() for p in sel.projections}
+        proj_cols = {p.expr.name.lower() for p in sel.projections
+                     if isinstance(p.expr, A.ColumnRef)}
+        for item in (sel.order_by or []):
+            e = item.expr
+            if isinstance(e, A.ColumnRef) and e.table is None and \
+                    (e.name.lower() in aliases
+                     or e.name.lower() in proj_cols):
+                continue
+            if any(not isinstance(p.expr, A.Star) and p.expr == e
+                   for p in sel.projections):
+                continue
+            return None
+
+        main = _replace(sel, unions=(), order_by=(), limit=None,
+                        distinct=False, into_table=None, into_outfile=None)
+        session = self.session
+        sp0 = fb0 = 0
+        if session.mesh is not None:
+            sp0, fb0 = session.stats.dist_spmd, session.stats.dist_fallback
+        table = self.run_select(main)
+        for kind, sub in sel.unions:
+            sub_t = self.run_select(sub)
+            if kind in ("all", "distinct"):
+                table.append_table(sub_t)
+                if kind == "distinct":
+                    table = self._distinct_any(table)
+            else:   # EXCEPT [ALL] / INTERSECT [ALL]
+                t2 = None
+                if session.mesh is not None:
+                    from aquery2_tpu.engine import dist_setop
+
+                    t2 = dist_setop.try_setop(session, table, sub_t, kind)
+                table = t2 if t2 is not None \
+                    else self._set_op(table, sub_t, kind)
+        if session.mesh is not None and \
+                session.stats.dist_fallback == fb0 and \
+                session.stats.dist_spmd > sp0:
+            # every branch ran SPMD → the container counts as SPMD too
+            session.note_spmd()
+
+        if sel.distinct:
+            table = self._distinct_any(table)
+        if sel.order_by and table.nrows:
+            names = table.column_names()
+            skeys = []
+            for item in sel.order_by:
+                e = item.expr
+                col = None
+                if isinstance(e, A.ColumnRef) and e.table is None \
+                        and e.name in table.columns:
+                    col = table.columns[e.name]
+                else:
+                    for p, out_name in zip(sel.projections, names):
+                        if (not isinstance(p.expr, A.Star)
+                                and p.expr == e) or \
+                                (isinstance(e, A.ColumnRef) and p.alias
+                                 and p.alias.lower() == e.name.lower()):
+                            col = table.columns[out_name]
+                            break
+                if col is None:
+                    return None     # raced projection rename: general path
+                skeys.append((jnp.asarray(
+                    _sort_key_of(col, table.nrows)), item.ascending))
+            perm = np.asarray(sort_perm(skeys, table.nrows))[:table.nrows]
+            table = _take_table(table, perm)
+        if sel.limit is not None:
+            table = _limit_table(table, sel.limit)
         if sel.into_table:
             table.name = sel.into_table
             self.session.catalog.create(table, replace=True)

@@ -87,6 +87,17 @@ def _check_row_expr(e: A.Expr, cols: CaseInsensitiveDict) -> None:
         for a in e.args:
             _check_row_expr(a, cols)
         return
+    if isinstance(e, A.CaseWhen):
+        # CASE rides the fused grammar when an ELSE is present (no-ELSE
+        # unmatched rows are NULL — 3-valued outputs stay on the general
+        # path, which carries null masks)
+        if e.default is None:
+            raise Unsupported("CASE without ELSE (NULL branch)")
+        for cond, val in e.whens:
+            _check_row_expr(cond, cols)
+            _check_row_expr(val, cols)
+        _check_row_expr(e.default, cols)
+        return
     raise Unsupported(f"row expr {e}")
 
 
@@ -269,6 +280,16 @@ def _row_eval(e: A.Expr, env: dict[str, jax.Array]):
         if hasattr(a0, "dtype") and a0.dtype.kind != "f":
             a0 = a0.astype(jnp.float64)
         return _MATH[e.func](a0, *args[1:])
+    if isinstance(e, A.CaseWhen) and e.default is not None:
+        # where-chain from last WHEN backwards: earlier WHENs win, as
+        # in the general path's reversed fold (eval.py _case)
+        res = _row_eval(e.default, env)
+        for cond, val in reversed(e.whens):
+            c = _row_eval(cond, env)
+            if hasattr(c, "dtype") and c.dtype != jnp.bool_:
+                c = c != 0
+            res = jnp.where(c, _row_eval(val, env), res)
+        return res
     raise Unsupported(f"trace {e}")
 
 
@@ -591,6 +612,12 @@ def referenced_columns(sel: A.Select, p) -> list[str]:
             for a in e.args:
                 if not isinstance(a, A.Star):
                     walk(a)
+        elif isinstance(e, A.CaseWhen):
+            for cond, val in e.whens:
+                walk(cond)
+                walk(val)
+            if e.default is not None:
+                walk(e.default)
 
     for k in p["keys"]:
         walk(k)
@@ -621,6 +648,12 @@ def _refs(e: A.Expr) -> set[str]:
             for a in x.args:
                 if not isinstance(a, A.Star):
                     walk(a)
+        elif isinstance(x, A.CaseWhen):
+            for cond, val in x.whens:
+                walk(cond)
+                walk(val)
+            if x.default is not None:
+                walk(x.default)
 
     walk(e)
     return out

@@ -63,6 +63,12 @@ def _rewrite_string_literals(e: A.Expr, cols) -> A.Expr:
         return A.Call(e.func, tuple(
             a if isinstance(a, A.Star) else _rewrite_string_literals(a, cols)
             for a in e.args), e.distinct)
+    if isinstance(e, A.CaseWhen):
+        return A.CaseWhen(
+            tuple((_rewrite_string_literals(c, cols),
+                   _rewrite_string_literals(v, cols)) for c, v in e.whens),
+            None if e.default is None
+            else _rewrite_string_literals(e.default, cols))
     return e
 
 
@@ -103,6 +109,14 @@ def _check_expr(e: A.Expr, cols, allow_string: bool) -> None:
     if isinstance(e, A.Literal):
         if e.is_string or e.value is None:
             raise _Bail("string/null literal")
+        return
+    if isinstance(e, A.CaseWhen):
+        if e.default is None:
+            raise _Bail("CASE without ELSE (NULL branch)")
+        for cond, val in e.whens:
+            _check_expr(cond, cols, allow_string=False)
+            _check_expr(val, cols, allow_string=False)
+        _check_expr(e.default, cols, allow_string=False)
         return
     raise _Bail(f"expr {e}")
 

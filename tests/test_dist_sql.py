@@ -139,11 +139,11 @@ def test_dist_path_accounting(pair):
     assert s8.stats.dist_spmd == spmd0 + 3
     s8.execute("SELECT v1, v3 FROM g ORDER BY v3 LIMIT 3")   # top-k: SPMD (r4)
     assert s8.stats.dist_spmd == spmd0 + 4
-    # Mixed UNION ALL of independent aggregates is still a fallback class
+    # CASE without ELSE (NULL branch) is still a fallback class
     # (tests/test_mesh_fallback.py keeps the honest list).
-    s8.execute("SELECT id1, count(*) FROM g GROUP BY id1 UNION ALL "
-               "SELECT 999, count(*) FROM g")
-    assert s8.stats.dist_fallback > fb0      # each branch is counted
+    s8.execute("SELECT v1, CASE WHEN v3 > 50 THEN 1 END AS hi FROM g "
+               "ORDER BY v1, v3 LIMIT 3")
+    assert s8.stats.dist_fallback > fb0
     assert s8.stats.dist_fallback_reasons
     assert "fallback" in s8.stats.format().lower()
 

@@ -42,12 +42,9 @@ def pair():
 # test_dist_window.py, test_dist_setop.py, the DISTINCT rewrite, and
 # dist_join_query→dist_scan row projections.)
 FALLBACK_QUERIES = [
-    # LIKE-free CASE expression (general eval path)
-    "SELECT k, CASE WHEN b > 15 THEN 1 ELSE 0 END AS hi FROM f "
-    "ORDER BY k, hi LIMIT 25",
-    # scalar subquery shape: union
-    "SELECT k, count(*) FROM f GROUP BY k UNION ALL "
-    "SELECT 999, count(*) FROM f",
+    # CASE without ELSE: unmatched rows are NULL → 3-valued general path
+    "SELECT k, CASE WHEN b > 15 THEN 1 END AS hi FROM f "
+    "ORDER BY k, b LIMIT 25",
 ]
 
 # Round-5 graduates: asserted SPMD below AND equal to single-chip.
@@ -60,6 +57,18 @@ SPMD_QUERIES = [
     "SELECT b, v FROM f WHERE v > 0.8 ORDER BY v, b",
     # plain unordered projection scan
     "SELECT k, b + 1 AS b1 FROM f WHERE v > 0.95 ORDER BY k, b1",
+    # CASE with ELSE in projection and WHERE (fused grammar, round 5)
+    "SELECT k, CASE WHEN b > 15 THEN 1 ELSE 0 END AS hi FROM f "
+    "ORDER BY k, hi, b LIMIT 25",
+    "SELECT k, count(*) FROM f WHERE CASE WHEN b > 20 THEN 1 ELSE 0 END"
+    " = 1 GROUP BY k ORDER BY k",
+    # CASE inside a grouped aggregate argument
+    "SELECT k, sum(CASE WHEN b > 15 THEN b ELSE 0 END) FROM f "
+    "GROUP BY k ORDER BY k",
+    # mixed UNION ALL of independent aggregates: each branch rides its
+    # own SPMD tier; constant projections join the ungrouped psum
+    "SELECT k, count(*) FROM f GROUP BY k UNION ALL "
+    "SELECT 999, count(*) FROM f",
 ]
 
 
@@ -81,9 +90,10 @@ def test_mesh_fallback_equals_single_chip(pair, q):
 def test_fallbacks_are_counted(pair):
     _, s8 = pair
     fb0 = s8.stats.dist_fallback
-    s8.execute("SELECT k, CASE WHEN b > 15 THEN 1 ELSE 0 END AS hi "
-               "FROM f ORDER BY k, hi LIMIT 5")
-    assert s8.stats.dist_fallback == fb0 + 1
+    s8.execute("SELECT k, CASE WHEN b > 15 THEN 1 END AS hi "
+               "FROM f ORDER BY k, b LIMIT 5")
+    assert s8.stats.dist_fallback > fb0
+    assert s8.stats.dist_fallback_reasons
 
 
 @pytest.mark.parametrize("q", SPMD_QUERIES)
