@@ -50,10 +50,13 @@ _cache: dict[tuple, Any] = {}
 
 
 def _comparable_arrays(left: Table, right: Table | None):
-    """Per-column device arrays with cross-table-comparable encodings,
-    or (None, reason). Strings: right codes translate into the left
+    """Per-lane device arrays with cross-table-comparable encodings, or
+    (None, reason). Strings: right codes translate into the left
     dictionary (append-only, safe). Floats: -0.0 canonicalized so
-    bitwise sort equality == value equality."""
+    bitwise sort equality == value equality. NULL-able columns emit TWO
+    lanes — data zeroed under NULL plus a null bit — so tuple equality
+    treats NULLs as equal (SQL's duplicate-row rule; matches the host
+    path's None-tuple comparisons in executor._set_op)."""
     lcols = list(left.columns.values())
     rcols = list(right.columns.values()) if right is not None else None
     if rcols is not None and len(lcols) != len(rcols):
@@ -61,8 +64,6 @@ def _comparable_arrays(left: Table, right: Table | None):
     for c in lcols + (rcols or []):
         if isinstance(c, VectorColumn):
             return None, "vector columns"
-        if c.valid is not None:
-            return None, "NULL-able columns"
     la, ra = [], []
     for j, lc in enumerate(lcols):
         ld = lc.data[: config.bucket_size(max(left.nrows, 1))]
@@ -83,8 +84,23 @@ def _comparable_arrays(left: Table, right: Table | None):
                 rd = None
         else:
             rd = rc.data[: rc.nrows] if rc is not None else None
+        lnull = rnull = None
+        if lc.valid is not None:
+            lv = lc.valid[: ld.shape[0]]
+            ld = jnp.where(lv, ld, jnp.zeros((), ld.dtype))
+            lnull = ~lv
+        if rc is not None and rc.valid is not None and rd is not None:
+            rv = rc.valid[: rd.shape[0]]
+            rd = jnp.where(rv, rd, jnp.zeros((), rd.dtype))
+            rnull = ~rv
         la.append(ld)
         ra.append(rd)
+        if lnull is not None or rnull is not None:
+            la.append(lnull if lnull is not None
+                      else jnp.zeros((ld.shape[0],), jnp.bool_))
+            ra.append(rnull if rnull is not None
+                      else (jnp.zeros((rd.shape[0],), jnp.bool_)
+                            if rd is not None else None))
     return (la, ra), None
 
 
@@ -258,8 +274,18 @@ def try_distinct(session, table: Table) -> Table | None:
     from aquery2_tpu.engine.executor import _take_table
 
     out = _take_table(table, idx)
-    # match _distinct's deterministic key-sorted output order
-    keys = [np.asarray(c.data[: out.nrows])
-            for c in out.columns.values()]
+    # match _distinct's deterministic key-sorted output order (NULL
+    # keys carry the past-the-max sentinel there → sort last)
+    keys = []
+    for c in out.columns.values():
+        k = np.asarray(c.data[: out.nrows])
+        if c.valid is not None:
+            nulls = ~np.asarray(c.valid[: out.nrows])
+            if k.dtype.kind == "f":
+                k = np.where(nulls, np.inf, k)
+            else:
+                k = np.where(nulls, np.int64(k.max(initial=0)) + 1,
+                             k.astype(np.int64))
+        keys.append(k)
     perm = np.lexsort(tuple(reversed(keys)))
     return _take_table(out, perm)

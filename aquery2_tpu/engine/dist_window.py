@@ -251,9 +251,29 @@ def _plan(session, sel: A.Select, table: Table):
         referenced |= oset              # host re-eval needs these columns
         order_by.append(("expr", item.expr, item.ascending))
 
-    for nm in referenced:
-        if nm in cols and getattr(cols[nm], "valid", None) is not None:
-            return bail("NULL columns in distributed window tier")
+    # NULL-able columns (round 5, VERDICT r4 #7): aggregate arguments
+    # and row projections thread their validity masks through the
+    # shuffle + per-layout sorts (SQL aggregates skip NULL inputs;
+    # lag/lead/first/last propagate the source NULL). Partition keys,
+    # OVER/outer ORDER BY keys and WHERE stay on the general path —
+    # 3-valued ordering/filter semantics live there.
+    nullable = {nm for nm in referenced
+                if nm in cols and getattr(cols[nm], "valid", None)
+                is not None}
+    if nullable:
+        gate_refs: set[str] = set()
+        for k in part:
+            _walk_cols(k, gate_refs)
+        for lo in layouts:
+            for o in lo:
+                _walk_cols(o.expr, gate_refs)
+        for kind_, what_, _asc in order_by:
+            if kind_ == "expr":
+                _walk_cols(what_, gate_refs)
+        if sel.where is not None:
+            _walk_cols(sel.where, gate_refs)
+        if gate_refs & nullable:
+            return bail("NULL-able window key/order/filter columns")
 
     # partition-key codec (shared with the ordered tier): packed single
     # word when possible, raw multi-lane keys for computed expressions
@@ -286,6 +306,7 @@ def _plan(session, sel: A.Select, table: Table):
             "layout_of": layout_of,
             "where": sel.where, "codec": codec,
             "col_order": sorted(referenced),
+            "null_order": sorted(nullable) if nullable else [],
             "order_by": order_by, "limit": sel.limit,
             "into_table": sel.into_table,
             "into_outfile": sel.into_outfile,
@@ -337,7 +358,8 @@ def try_run(session, sel: A.Select, table: Table) -> Table | None:
     if n == 0:
         session.note_dist_bail("empty table")
         return None
-    arrays = [cols[nm].data for nm in p["col_order"]]
+    arrays = ([cols[nm].data for nm in p["col_order"]]
+              + [cols[nm].valid for nm in p["null_order"]])
     cap = int(arrays[0].shape[0])
     if cap % ndev:
         session.note_dist_bail("capacity not divisible by mesh size")
@@ -351,6 +373,7 @@ def try_run(session, sel: A.Select, table: Table) -> Table | None:
         fingerprint = ("dist-window", ndev, bcap,
                        repr([pr[3] for pr in p["projections"]]),
                        repr(p["where"]), p["codec"].fingerprint(),
+                       tuple(p["null_order"]),
                        tuple((a.shape[0], str(a.dtype)) for a in arrays))
         entry = _cache.get(fingerprint)
         if entry is None:
@@ -370,6 +393,7 @@ def try_run(session, sel: A.Select, table: Table) -> Table | None:
 
 def _build(p, cols, mesh, axis, ndev, blk, bcap):
     col_order = p["col_order"]
+    null_order = p["null_order"]
     codec = p["codec"]
     ngl = codec.nsort
     m = ndev * bcap
@@ -394,7 +418,9 @@ def _build(p, cols, mesh, axis, ndev, blk, bcap):
         def local(nn_, *blocks):
             d = jax.lax.axis_index(axis).astype(jnp.int32)
             gidx = d * blk + jnp.arange(blk, dtype=jnp.int32)
-            env0 = dict(zip(col_order, blocks))
+            ncols = len(col_order)
+            env0 = dict(zip(col_order, blocks[:ncols]))
+            nulls0 = [~v for v in blocks[ncols:]]   # NULL masks
             valid0 = gidx < nn_
             if p["where"] is not None:
                 w = fg._row_eval(p["where"], env0)
@@ -404,11 +430,21 @@ def _build(p, cols, mesh, axis, ndev, blk, bcap):
             skey = codec.shuffle_key(env0, valid0, blk)
             kpay = codec.key_payload(env0)
             nkp = len(kpay)
-            payload = kpay + [gidx] + [env0[nm] for nm in col_order]
+            payload = (kpay + [gidx] + [env0[nm] for nm in col_order]
+                       + nulls0)
             wr, payr, okr, ndrop = _shuffle(skey, payload, valid0, axis,
                                             ndev, bcap)
             gidx_r = payr[nkp]
-            env = dict(zip(col_order, payr[nkp + 1:]))
+            env = dict(zip(col_order, payr[nkp + 1: nkp + 1 + ncols]))
+            nmask = dict(zip(null_order, payr[nkp + 1 + ncols:]))
+
+            def null_of(expr, masks):
+                """OR of the referenced nullable columns' masks."""
+                out_m = None
+                for nm in fg._refs(expr) & set(null_order):
+                    out_m = (masks[nm] if out_m is None
+                             else out_m | masks[nm])
+                return out_m
             klanes0 = codec.sort_keys(wr, payr[:nkp], okr)
             gidx_key = jnp.where(okr, gidx_r, jnp.int32(2**31 - 1))
             recv_idx = jnp.arange(m, dtype=jnp.int32)
@@ -441,6 +477,7 @@ def _build(p, cols, mesh, axis, ndev, blk, bcap):
                 perm = res[-1]          # sorted pos → receive-domain pos
                 valid_s = okr[perm]
                 env_s = {nm: env[nm][perm] for nm in col_order}
+                nmask_s = {nm: nmask[nm][perm] for nm in null_order}
 
                 flags = jnp.zeros((m,), bool).at[0].set(True)
                 for kl in klanes:
@@ -463,7 +500,8 @@ def _build(p, cols, mesh, axis, ndev, blk, bcap):
                         continue
                     data, nl = _win_value(
                         p["wins"][wi], env_s, flags, peer_flags, pos, idx,
-                        start_i, last_i, part_len, valid_s, m)
+                        start_i, last_i, part_len, valid_s, m,
+                        argnull=lambda a: null_of(a, nmask_s))
                     projs[pi] = jnp.zeros((m,), data.dtype).at[perm].set(
                         data)
                     if nl is None:
@@ -480,7 +518,9 @@ def _build(p, cols, mesh, axis, ndev, blk, bcap):
                 if not hasattr(v, "shape") or v.ndim == 0:
                     v = jnp.broadcast_to(jnp.asarray(v), (m,))
                 projs[pi] = v
-                nulls[pi] = jnp.zeros((m,), jnp.bool_)
+                nl = null_of(expr, nmask)
+                nulls[pi] = (jnp.zeros((m,), jnp.bool_) if nl is None
+                             else nl)
 
             okeys = []
             for e in order_exprs:
@@ -531,12 +571,16 @@ def _build(p, cols, mesh, axis, ndev, blk, bcap):
 
 
 def _win_value(w: A.WindowExpr, env_s, flags, peer_flags, pos, idx,
-               start_i, last_i, part_len, valid_s, m):
+               start_i, last_i, part_len, valid_s, m, argnull=None):
     """One window projection in the shard-local sorted domain. Mirrors
     engine/eval.py's `_window` post-sort logic exactly (the equality
-    tests in tests/test_dist_window.py hold the two paths together)."""
+    tests in tests/test_dist_window.py hold the two paths together).
+    ``argnull(expr)`` returns the expr's NULL mask in the sorted domain
+    (or None) — SQL aggregates skip NULL inputs; gathers propagate."""
     fname = w.func.func
     args = list(w.func.args)
+    if argnull is None:
+        argnull = lambda a: None        # noqa: E731
 
     if fname in _RANKING:
         if fname == "row_number":
@@ -560,15 +604,18 @@ def _win_value(w: A.WindowExpr, env_s, flags, peer_flags, pos, idx,
 
     if fname in ("lag", "lead"):
         x = _arg_value(args[0], env_s, m)
+        nx = argnull(args[0])
         off = int(_literal_value(args[1])) if len(args) >= 2 else 1
         tgt = idx - off if fname == "lag" else idx + off
         in_part = (tgt >= start_i) & (tgt <= last_i)
         g = jnp.clip(tgt, 0, m - 1)
         data = jnp.where(in_part, x[g], x)
+        gnull = (nx[g] & in_part) if nx is not None else None
         if len(args) >= 3:
             dv = _literal_value(args[2])
-            return jnp.where(in_part, data, jnp.asarray(dv, data.dtype)), None
-        return data, ~in_part
+            return jnp.where(in_part, data,
+                             jnp.asarray(dv, data.dtype)), gnull
+        return data, (~in_part if gnull is None else ~in_part | gnull)
 
     lo, hi, use_peer_hi, use_peer_lo = _frame_spec(w)
     lo_idx = W.first_index(peer_flags) if use_peer_lo else None
@@ -577,6 +624,7 @@ def _win_value(w: A.WindowExpr, env_s, flags, peer_flags, pos, idx,
 
     if fname in ("first_value", "last_value", "nth_value"):
         x = _arg_value(args[0], env_s, m)
+        nx = argnull(args[0])
         if fname == "first_value":
             g = lo_i
         elif fname == "last_value":
@@ -586,7 +634,7 @@ def _win_value(w: A.WindowExpr, env_s, flags, peer_flags, pos, idx,
             g = lo_i + (k - 1)
             empty = empty | (g > hi_i)
             g = jnp.clip(g, 0, m - 1)
-        return x[g], empty
+        return x[g], (empty if nx is None else empty | nx[g])
 
     if fname == "count" and (not args or isinstance(args[0], A.Star)):
         return jnp.where(empty, 0,
@@ -594,6 +642,9 @@ def _win_value(w: A.WindowExpr, env_s, flags, peer_flags, pos, idx,
 
     x = _arg_value(args[0], env_s, m)
     ind = valid_s
+    nx = argnull(args[0])
+    if nx is not None:
+        ind = ind & ~nx                 # SQL aggregates skip NULL inputs
 
     if fname == "count":
         C = scan.seg_cumsum(ind.astype(jnp.int64), flags)

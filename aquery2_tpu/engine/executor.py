@@ -995,14 +995,25 @@ class Executor:
 
     def _distinct(self, table: Table) -> Table:
         """Deduplicate rows (reference `distinct` via record-hash set,
-        table.h:601-614). Deterministic: output in key-sorted order."""
+        table.h:601-614). Deterministic: output in key-sorted order.
+        NULLs compare equal to each other (SQL duplicate-row rule) via
+        the sentinel coding; masks carry through to the output."""
         n = table.nrows
         if n == 0:
             return table
         cols = list(table.columns.values())
         if any(isinstance(c, VectorColumn) for c in cols):
             raise ExecError("DISTINCT over vector columns not supported")
-        keys = [_KeyCol(c.data, n) for c in cols]
+        keys = []
+        sents: list = []
+        for c in cols:
+            if c.valid is not None:
+                data, sent = _null_key_sentinel(c.data, ~c.valid, n)
+                sents.append(sent)
+                keys.append(_KeyCol(data, n))
+            else:
+                sents.append(None)
+                keys.append(_KeyCol(c.data, n))
         grouping = gb.group_by(keys, n)
         out = Table.__new__(Table)
         out.name = table.name
@@ -1011,10 +1022,16 @@ class Executor:
         out.columns = CaseInsensitiveDict()
         out.sorted_by = ()
         G = grouping.num_groups
-        for c, kv in zip(cols, grouping.key_values):
+        for c, kv, sent in zip(cols, grouping.key_values, sents):
+            kv = kv[:max(G, 1)]
+            valid = None
+            if sent is not None:
+                valid = kv != jnp.asarray(sent, kv.dtype)
+                kv = jnp.where(valid, kv, jnp.zeros((), kv.dtype))
             out.columns[c.name] = Column(c.name, c.sqltype,
-                                         kv[:max(G, 1)].astype(c.data.dtype),
-                                         nrows=G, dictionary=c.dictionary)
+                                         kv.astype(c.data.dtype),
+                                         nrows=G, dictionary=c.dictionary,
+                                         valid=valid)
         return out
 
 

@@ -177,3 +177,87 @@ def test_dist_window_wide_and_computed_partition_keys(wide_pair, q):
                 assert y == pytest.approx(x, rel=1e-9, abs=1e-12), (q, a, b)
             else:
                 assert x == y, (q, a, b)
+
+
+# --------------------------------------------------------------------- #
+# NULL-able aggregate arguments / row projections (round 5, VERDICT #7)
+# --------------------------------------------------------------------- #
+
+@pytest.fixture(scope="module")
+def null_pair():
+    rng = np.random.default_rng(21)
+    n = 8 * 400
+    k = rng.integers(1, 7, n)
+    ts = rng.permutation(n)
+    v = [None if x % 6 == 0 else float(x % 97) / 7
+         for x in rng.integers(0, 1000, n)]
+
+    def load(db):
+        db.execute("CREATE TABLE nf(k INT, ts INT, v DOUBLE)")
+        db.catalog.get("nf").append_rows(
+            [(int(a), int(t), x) for a, t, x in zip(k, ts, v)])
+        db.place_table(db.catalog.get("nf"))
+
+    s1 = aq.connect()
+    load(s1)
+    s8 = aq.connect(mesh=8)
+    load(s8)
+    return s1, s8
+
+
+NULL_WINDOW_QUERIES = [
+    # frame aggregates skip NULL inputs; all-NULL frames are NULL
+    "SELECT k, sum(v) OVER (PARTITION BY k ORDER BY ts) AS rs "
+    "FROM nf ORDER BY k, ts LIMIT 30",
+    "SELECT k, avg(v) OVER (PARTITION BY k ORDER BY ts "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma FROM nf "
+    "ORDER BY k, ts LIMIT 25",
+    "SELECT k, count(v) OVER (PARTITION BY k) AS c FROM nf "
+    "ORDER BY k, ts LIMIT 20",
+    "SELECT k, min(v) OVER (PARTITION BY k ORDER BY ts "
+    "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS mn FROM nf "
+    "ORDER BY k, ts LIMIT 25",
+    # gathers propagate the source NULL
+    "SELECT k, lag(v) OVER (PARTITION BY k ORDER BY ts) AS pv "
+    "FROM nf ORDER BY k, ts LIMIT 30",
+    "SELECT k, first_value(v) OVER (PARTITION BY k ORDER BY ts) AS fv "
+    "FROM nf ORDER BY k, ts LIMIT 25",
+    # nullable row projection passes its mask through
+    "SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY ts) AS rn "
+    "FROM nf ORDER BY k, rn LIMIT 30",
+]
+
+
+@pytest.mark.parametrize("q", NULL_WINDOW_QUERIES)
+def test_dist_window_nullable_agg_args(null_pair, q):
+    s1, s8 = null_pair
+    spmd0 = s8.stats.dist_spmd
+    r1, r8 = s1.execute(q), s8.execute(q)
+    assert s8.stats.dist_spmd == spmd0 + 1, (
+        f"{q} fell back: {s8.stats.dist_fallback_reasons[-2:]}")
+    rows1, rows8 = r1.rows(), r8.rows()
+    assert len(rows1) == len(rows8)
+    for a, b in zip(rows1, rows8):
+        for x, y in zip(a, b):
+            if isinstance(x, float):
+                assert y == pytest.approx(x, rel=1e-9, abs=1e-12), (q, a, b)
+            else:
+                assert x == y, (q, a, b)
+
+
+def test_dist_window_nullable_key_bails(null_pair):
+    """NULL-able partition/order keys stay on the general path with a
+    recorded reason (3-valued ordering semantics)."""
+    s1, s8 = null_pair
+    for db in (s1, s8):
+        if "ng" not in db.catalog:
+            db.execute("CREATE TABLE ng(k INT, v DOUBLE)")
+            db.execute("INSERT INTO ng VALUES (1, 1.5), (NULL, 2.5), "
+                       "(1, 3.5), (2, 0.5)")
+            db.place_table(db.catalog.get("ng"))
+    fb0 = s8.stats.dist_fallback
+    q = ("SELECT k, sum(v) OVER (PARTITION BY k) AS s FROM ng "
+         "ORDER BY v LIMIT 4")
+    r1, r8 = s1.execute(q), s8.execute(q)
+    assert s8.stats.dist_fallback == fb0 + 1
+    assert r1.rows() == r8.rows()
