@@ -56,10 +56,14 @@ def run_scalar_udf(ctx, udf: Udf, args: list):
 
     if all(v.kind == "scalar" for v in args) or _has_control_flow(udf.body):
         # host path (supports control flow)
+        if ctx.session is not None:
+            ctx.session.stats.note_udf("scalar_host")
         np_args = [_to_host(ctx, v) for v in args]
         res = _HostEval(ctx, dict(zip(udf.params, np_args))).run(udf.body)
         return _from_host(ctx, res)
 
+    if ctx.session is not None:
+        ctx.session.stats.note_udf("scalar_device")
     frame = dict(zip(udf.params, args))
     ctx.env.append(frame)
     try:
@@ -113,8 +117,12 @@ def run_aggregation_udf(ctx, udf: Udf, args: list):
 
     dv = udf_device.try_run_aggregation_udf(ctx, udf, args)
     if dv is not None:
+        if ctx.session is not None:
+            ctx.session.stats.note_udf("traced")
         return dv
 
+    if ctx.session is not None:
+        ctx.session.stats.note_udf("interpreted")
     offsets = ctx.np_offsets()
     G = ctx.G
     np_args = [_to_host(ctx, v) for v in args]

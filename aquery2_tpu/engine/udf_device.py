@@ -668,6 +668,7 @@ def try_run_fused(session, sel, table) -> "Any | None":
     except _Untraceable:
         return None
 
+    session.stats.note_udf("fused")
     res = Table.__new__(Table)
     res.name = f"result_{base62uuid(4)}"
     res.columns = CaseInsensitiveDict()

@@ -435,6 +435,7 @@ def rewrite_select(session, sel) -> "A.Select | None":
             new_having = nh
     if not changed:
         return None
+    session.stats.note_udf("rewritten")
     import dataclasses
 
     return dataclasses.replace(sel, projections=list(new_projs),

@@ -28,6 +28,18 @@ class QueryStats:
     dist_spmd: int = 0
     dist_fallback: int = 0
     dist_fallback_reasons: dict = field(default_factory=dict)
+    # UDF execution-path accounting (VERDICT r4 #8): which tier each
+    # UDF invocation ran on — "rewritten" (accumulation loop → plain
+    # aggregates, full fused pipeline), "fused" (vmapped device body in
+    # the fused grouping preamble), "traced" (vmapped device body in
+    # the general pipeline), "interpreted" (host NumPy per group — the
+    # slow path that must stay empty for the reference corpus),
+    # "scalar_device"/"scalar_host" for scalar FUNCTIONs.
+    udf_paths: dict = field(default_factory=dict)
+
+    def note_udf(self, path: str) -> None:
+        if self.enabled:
+            self.udf_paths[path] = self.udf_paths.get(path, 0) + 1
 
     @contextmanager
     def timed(self, phase: str):
@@ -53,6 +65,7 @@ class QueryStats:
         self.history.clear()
         self.dist_spmd = self.dist_fallback = 0
         self.dist_fallback_reasons.clear()
+        self.udf_paths.clear()
 
     def format(self) -> str:
         lines = [
@@ -65,6 +78,9 @@ class QueryStats:
             lines.append(f"Mesh fallbacks:   {self.dist_fallback} queries")
             for reason, cnt in sorted(self.dist_fallback_reasons.items()):
                 lines.append(f"  {cnt:6d}  {reason}")
+        if self.udf_paths:
+            lines.append("UDF paths:        " + ", ".join(
+                f"{k}={v}" for k, v in sorted(self.udf_paths.items())))
         if self.history:
             lines.append("Recent:")
             for text, dt in self.history[-10:]:

@@ -274,6 +274,9 @@ def run_udf_compare(rows: int, iters: int, verbose: bool) -> dict:
     out["udf_device_s"] = round(best(UDF_QUERY, 2), 4)
     out["builtin_s"] = round(best(UDF_BUILTIN, 2), 4)
     out["udf_vs_builtin"] = round(out["udf_device_s"] / out["builtin_s"], 2)
+    # execution-tier accounting (VERDICT r4 #8): which tier the UDF ran
+    # on — "rewritten" = accumulation loop folded into plain aggregates
+    out["udf_paths"] = dict(s.stats.udf_paths)
 
     if rows > m:
         # full-scale point (1e8 by default): same comparison on the

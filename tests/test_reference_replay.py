@@ -274,3 +274,30 @@ def test_modules_a(workdir, tmp_path):
     db = aq.connect()
     r = db.execute(script)
     assert r.scalar() == pytest.approx(2 / 3)
+
+
+@needs_ref
+def test_udf_corpus_execution_tiers(workdir):
+    """VERDICT r4 #8: every UDF the reference ships runs on a device
+    tier — none may land on the per-group host interpreter.
+
+    Measured table (stats.udf_paths after replaying each script):
+
+      udf3.a    covariances2(x,y,w)    traced        (vmapped device body)
+      funcs.a   covariance/sd/pairCorr scalar_device (inlined in evaluator)
+      joins.a   covariance/sd/pairCorr scalar_device
+      jose_gh.a myCov(1,2)             scalar_host   (constant args — O(1),
+                                        no row workload; host by design)
+    """
+    expected = {
+        "udf3.a": {"traced"},
+        "funcs.a": {"scalar_device"},
+        "joins.a": {"scalar_device"},
+        "jose_gh.a": {"scalar_host"},
+    }
+    for script, want in expected.items():
+        db = aq.connect()
+        db.execute(_script(script))
+        got = set(db.stats.udf_paths)
+        assert "interpreted" not in got, (script, db.stats.udf_paths)
+        assert got == want, (script, db.stats.udf_paths)
