@@ -404,6 +404,11 @@ def seg_scan_multi(flags: jax.Array | None, xs: tuple[jax.Array, ...],
 # partials are summed in int64 OUTSIDE the kernel (tiny).
 
 def _make_onehot_kernel(dp, steps_per_sb):
+    # np.int32, not a Python int: under jax_enable_x64 the int traces as
+    # an i64 constant and Mosaic's i64->i32 convert lowering recurses
+    # (observed RecursionError on the real chip, round 5)
+    steps_per_sb = np.int32(steps_per_sb)
+
     def kernel(code_ref, pay_ref, out_ref):
         step = pl.program_id(0)
 
@@ -413,11 +418,14 @@ def _make_onehot_kernel(dp, steps_per_sb):
 
         code = code_ref[...]                            # [1, CB] int32
         iota = jax.lax.broadcasted_iota(jnp.int32, (dp, 1), 0)
-        # select, not a bool->bf16 cast: Mosaic's convert_element_type
-        # lowering recurses on i1->bf16 (observed RecursionError)
-        oh = jnp.where(code == iota, jnp.bfloat16(1),
-                       jnp.bfloat16(0))                 # [dp, CB] VMEM
-        pay = pay_ref[...]                              # [L, CB] bf16
+        # f32 select + f32 dot: an i1->bf16 cast recurses in Mosaic's
+        # convert lowering AND a bf16 select on a broadcast i1 mask
+        # hard-crashes the Mosaic compiler (v5e, round-5 bisection:
+        # every bf16 one-hot variant died, the f32 form compiles and
+        # the integer-valued f32 dot stays exact under 2^24)
+        oh = jnp.where(code == iota, jnp.float32(1),
+                       jnp.float32(0))                  # [dp, CB] VMEM
+        pay = pay_ref[...].astype(jnp.float32)          # [L, CB]
         part = jax.lax.dot_general(
             oh, pay, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)         # [dp, L] exact
@@ -454,8 +462,9 @@ def onehot_segment_sums(code: jax.Array, pay: jax.Array, dp: int,
             pl.BlockSpec((L, cb), lambda i: (np.int32(0), i)),
         ],
         out_specs=pl.BlockSpec(
-            (1, dp, L), lambda i, s=steps_per_sb: (i // s, np.int32(0),
-                                                   np.int32(0))),
+            (1, dp, L),
+            lambda i, s=np.int32(steps_per_sb): (i // s, np.int32(0),
+                                                 np.int32(0))),
         out_shape=jax.ShapeDtypeStruct((nsb, dp, L), jnp.float32),
         interpret=interpret,
     )(code2, pay)

@@ -499,32 +499,40 @@ def sorted_group_reduce(starts, last, add_lanes, min_lanes, max_lanes,
     for t, col in (extract or {}).items():
         end_vals[t] = col
 
-    # Measured v5e @ 134M rows (2026-08, tunneled chip): one unstable
-    # int32-key sort costs ~4.3 ns/row + ~1.3 ns/row per payload lane;
-    # a random gather costs ~29 ns per OUTPUT element per lane (not the
-    # 9 ns earlier small-scale estimate — gathers get WORSE at HBM
-    # scale while sorts amortize); an int32 scatter ~9 ns/row. Pick the
-    # cheaper extraction — the compact path's own cost is NOT free
-    # (round-2 gate omitted it and h2o q8's counts-only extraction,
-    # L=1, paid a full-size scatter + gcap=n gathers ≈ 3 s at 1e8):
-    #   compact_indices:  n · 9.5 (cumsum+scatter) + gcap · 29 · L
-    #   compaction sort:  n · (4.3 + 1.3 · L)
-    # For L ≤ 4 the sort always wins; beyond that small gcap can flip it.
+    # Measured v5e @ 134M rows (2026-08 round 5, tunneled chip, timings
+    # forced by a host fetch — block_until_ready does NOT await remote
+    # completion over the tunnel): one unstable int32-key sort costs
+    # ~1.5 ns/row + ~1.55 ns/row per payload lane; a random gather
+    # costs ~10-20 ns per OUTPUT element per lane when the output is
+    # small (≤ ~2M) but degrades toward ~29 ns at output ≈ n; an int32
+    # scatter costs ~4.6-6.6 ns/row so compact_indices (cumsum +
+    # full-size scatter) is dominated by a key-only sort and was
+    # removed. Two extraction strategies remain:
+    #   sparse:   key-only compaction sort (the key doubles as the end
+    #             row index) + one gather per lane at ends_idx
+    #               n · 1.5  +  gcap · 20 · L      [ns]
+    #   carrying: every lane rides the compaction sort as payload
+    #               n · (1.5 + 1.55 · L)           [ns]
+    # Sparse wins when gcap · 20 < n · 1.55, i.e. gcap ≲ n/13 — h2o
+    # q3/q5/q6/q7 (≤1e6 groups from 1e8 rows: measured 2.38 s → 1.26 s
+    # for the q5 shape); carrying keeps q10 (groups ≈ rows, where
+    # per-lane gathers at gcap ≈ n would cost ~29 ns · n each).
     L = len(end_vals)
-    use_compaction_sort = n * (4.3 + 1.3 * L) <= n * 9.5 + gcap * 29 * L
-    if use_compaction_sort:
-        idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-        # the sort key doubles as the end-row index (key = idx at end
-        # rows, which sort to the front) — no separate idx payload lane
-        key = jnp.where(last, idx, idx + jnp.int32(n))   # unique → unstable ok
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    # the sort key doubles as the end-row index (key = idx at end
+    # rows, which sort to the front) — no separate idx payload lane
+    key = jnp.where(last, idx, idx + jnp.int32(n))       # unique → unstable ok
+    if gcap * 13 < n:
+        ends_idx = jnp.minimum(
+            jax.lax.sort([key], num_keys=1, is_stable=False)[0][:gcap],
+            n - 1)
+        at_ends = {t: v[ends_idx] for t, v in end_vals.items()}
+    else:
         tags = list(end_vals)
         res = jax.lax.sort([key, *[end_vals[t] for t in tags]],
                            num_keys=1, is_stable=False)
         ends_idx = jnp.minimum(res[0][:gcap], n - 1)
         at_ends = {t: r[:gcap] for t, r in zip(tags, res[1:])}
-    else:
-        ends_idx = compact_indices(last, gcap, fill=n - 1)
-        at_ends = {t: v[ends_idx] for t, v in end_vals.items()}
 
     outs: dict[str, jax.Array] = {}
     if counts_from_ends is not None:
