@@ -499,34 +499,36 @@ def sorted_group_reduce(starts, last, add_lanes, min_lanes, max_lanes,
     for t, col in (extract or {}).items():
         end_vals[t] = col
 
-    # Measured v5e @ 134M rows (2026-08 round 5, tunneled chip, timings
+    # Measured v5e @ 1e8 rows (2026-08 round 5, tunneled chip, timings
     # forced by a host fetch — block_until_ready does NOT await remote
     # completion over the tunnel): one unstable int32-key sort costs
-    # ~1.5 ns/row + ~1.55 ns/row per payload lane; a random gather
-    # costs ~10-20 ns per OUTPUT element per lane when the output is
-    # small (≤ ~2M) but degrades toward ~29 ns at output ≈ n; an int32
-    # scatter costs ~4.6-6.6 ns/row so compact_indices (cumsum +
-    # full-size scatter) is dominated by a key-only sort and was
-    # removed. Two extraction strategies remain:
+    # ~1.5 ns/row + ~1.55 ns/row per payload lane; an int32 scatter
+    # costs ~4.6-6.6 ns/row so compact_indices (cumsum + full-size
+    # scatter) is dominated by a key-only sort and was removed.
+    # Separate per-lane gathers cost ~25 ns per OUTPUT element (7 lanes
+    # at 1.26e7 ends: 2.4 s) but ONE row-gather from a [n, L] stack of
+    # the lanes costs ~0.23 s for the same extraction — stacking is a
+    # sequential write and the gather amortizes its addressing over the
+    # whole row. Two extraction strategies:
     #   sparse:   key-only compaction sort (the key doubles as the end
-    #             row index) + one gather per lane at ends_idx
-    #               n · 1.5  +  gcap · 20 · L      [ns]
+    #             row index) + one stacked row-gather at ends_idx
+    #               n · 1.5  +  stack/gather ≈ n·L·0.35 + gcap·20 [ns]
     #   carrying: every lane rides the compaction sort as payload
     #               n · (1.5 + 1.55 · L)           [ns]
-    # Sparse wins when gcap · 20 < n · 1.55, i.e. gcap ≲ n/13 — h2o
-    # q3/q5/q6/q7 (≤1e6 groups from 1e8 rows: measured 2.38 s → 1.26 s
-    # for the q5 shape); carrying keeps q10 (groups ≈ rows, where
-    # per-lane gathers at gcap ≈ n would cost ~29 ns · n each).
+    # Sparse wins (~4×) whenever groups are even modestly sparse —
+    # h2o q3/q5 (1e7 groups from 1e8 rows): extraction 1.1 s → 0.38 s;
+    # carrying keeps q10 (groups ≈ rows, where a row-gather at
+    # gcap ≈ n degenerates to ~29 ns · n of random reads).
     L = len(end_vals)
     idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     # the sort key doubles as the end-row index (key = idx at end
     # rows, which sort to the front) — no separate idx payload lane
     key = jnp.where(last, idx, idx + jnp.int32(n))       # unique → unstable ok
-    if gcap * 13 < n:
+    if gcap * 6 <= n:
         ends_idx = jnp.minimum(
             jax.lax.sort([key], num_keys=1, is_stable=False)[0][:gcap],
             n - 1)
-        at_ends = {t: v[ends_idx] for t, v in end_vals.items()}
+        at_ends = _gather_lanes(end_vals, ends_idx)
     else:
         tags = list(end_vals)
         res = jax.lax.sort([key, *[end_vals[t] for t in tags]],
@@ -570,6 +572,36 @@ def sorted_group_reduce(starts, last, add_lanes, min_lanes, max_lanes,
     for t in (extract or {}):
         outs[t] = at_ends[t]
     return outs, ends_idx, ng
+
+
+def _gather_lanes(end_vals: dict[str, jax.Array],
+                  ends_idx: jax.Array) -> dict[str, jax.Array]:
+    """Extract every lane at ``ends_idx`` with ONE row-gather per dtype
+    width: lanes bitcast to a common int type, stack to [n, L], gather
+    gcap rows, unstack, bitcast back. Measured v5e at 1e8 rows /
+    1.26e7 ends: 7 stacked lanes ≈ 0.23 s vs ≈ 2.4 s as 7 separate
+    gathers (the gather's per-element addressing amortizes over the
+    row; the stack is a sequential HBM write)."""
+    by_width: dict[int, list[str]] = {}
+    out: dict[str, jax.Array] = {}
+    for t, v in end_vals.items():
+        if v.dtype == jnp.bool_:
+            out[t] = v[ends_idx]                # rare; keep it simple
+        else:
+            by_width.setdefault(jnp.dtype(v.dtype).itemsize, []).append(t)
+    for width, tags in by_width.items():
+        if len(tags) == 1:
+            t = tags[0]
+            out[t] = end_vals[t][ends_idx]
+            continue
+        itype = jnp.int32 if width == 4 else jnp.int64
+        stacked = jnp.stack(
+            [jax.lax.bitcast_convert_type(end_vals[t], itype)
+             for t in tags], axis=1)[ends_idx]
+        for j, t in enumerate(tags):
+            out[t] = jax.lax.bitcast_convert_type(stacked[:, j],
+                                                  end_vals[t].dtype)
+    return out
 
 
 def _pallas_segsum_ok(n: int) -> bool:
