@@ -87,6 +87,26 @@ def try_run(session, sel: A.Select) -> Table | None:
         if 0 < d <= config.PERFECT_HASH_MAX_DOMAIN:
             domain = d
 
+    # tagged-sort count join: both key columns integer with a packed
+    # span (|range| · 4 in int32). The per-row gather of the histogram
+    # probe costs ~25 ns per probe (0.9 s for h2o qj at 1e8 rows); ONE
+    # single-operand sort of concat(left, right, right) with a 2-bit
+    # tag in the low bits costs ~1.5 ns/row:
+    #     value·4 + 0   right row as a "<" query     (rank_left)
+    #     value·4 + 1   valid left row
+    #     value·4 + 2   right row as a "≤" query     (rank_right)
+    # In the sorted stream, (#left-rows before position) at a ≤-query
+    # minus at a <-query is that right row's match count; the join
+    # count is the signed sum — no extraction pass at all. Measured
+    # h2o qj at 1e8: 0.90 s → ~0.3 s.
+    span = None
+    if (lcol.data.dtype.kind in "iub" and rcol.data.dtype.kind in "iub"):
+        lmn, lmx = (int(x) for x in lcol.stats())
+        kmn = min(lmn, rmn)
+        s = max(lmx, rmx) - kmn + 1
+        if rcol.data.dtype.kind in "iub" and 0 < s and s * 4 < 2**31 - 8:
+            span = s
+
     mesh = getattr(session, "mesh", None)
     if mesh is not None and mesh.shape[session.mesh_axis] > 1:
         total = _mesh_count_join(session, lcol, rcol, ln, rn, domain, rmn)
@@ -95,10 +115,38 @@ def try_run(session, sel: A.Select) -> Table | None:
             return _result(sel, total)
 
     key = (lcol.data.shape[0], rcol.data.shape[0],
-           str(lcol.data.dtype), str(rcol.data.dtype), domain, rmn)
+           str(lcol.data.dtype), str(rcol.data.dtype), domain, rmn,
+           span, span and kmn)
     fn = _cache.get(key)
     if fn is None:
-        if domain is not None:
+        if span is not None:
+            base = kmn
+            # tag bits 3 (unused by live rows): padding must not look
+            # like a query or a left row after the & 3 below
+            sentinel = jnp.int32(span * 4 + 7)
+
+            @jax.jit
+            def count_join(lk, rk, nl, nr):
+                li = jnp.arange(lk.shape[0], dtype=jnp.int32)
+                ri = jnp.arange(rk.shape[0], dtype=jnp.int32)
+                lp = jnp.where(li < nl,
+                               (lk - base).astype(jnp.int32) * 4 + 1,
+                               sentinel)
+                rp = (rk - base).astype(jnp.int32) * 4
+                lo_q = jnp.where(ri < nr, rp, sentinel)
+                hi_q = jnp.where(ri < nr, rp + 2, sentinel)
+                comb = jax.lax.sort(
+                    [jnp.concatenate([lp, lo_q, hi_q])],
+                    num_keys=1, is_stable=False)[0]
+                tag = comb & 3
+                # exclusive running count of left rows; i32 is safe
+                # (counts ≤ cap < 2^31)
+                before = jnp.cumsum((tag == 1).astype(jnp.int32)) \
+                    - (tag == 1).astype(jnp.int32)
+                signed = (jnp.where(tag == 2, before, 0)
+                          - jnp.where(tag == 0, before, 0))
+                return jnp.sum(signed.astype(jnp.int64))
+        elif domain is not None:
             dom, base = domain, rmn
 
             @jax.jit
