@@ -57,10 +57,13 @@ donate_buffers: bool = _flag("AQ_TPU_DONATE", True)
 use_pallas: bool = _flag("AQ_TPU_PALLAS", True)
 
 # Fused one-hot MXU segment reduction (pallas_kernels.onehot_segment_
-# sums) for the dense group-by tier. Opt-in (AQ_TPU_ONEHOT=1) until the
-# tunneled remote Mosaic-compile service proves it: a FAILED remote
-# pallas compile has been observed to wedge the shared terminal for
-# ~1 h, which would take down a whole benchmark run.
+# sums) for the dense group-by tier. Validated on the chip in round 5:
+# after the i64-constant and bf16-select Mosaic fixes it compiles and
+# matches the XLA tier bit-for-bit — but it is VPU-bound building the
+# dp×rows one-hot in-kernel and measures ~2× SLOWER than the XLA scan
+# tier (~4.5 ms vs ~2 ms per 2^24 rows at dp≈128; XLA keeps the one-hot
+# fused into the dot so the presumed HBM-materialization advantage never
+# existed). Stays opt-in as an A/B reference, not a production path.
 use_pallas_onehot: bool = _flag("AQ_TPU_ONEHOT", False)
 
 # Forced platform, if any (resolved lazily by runtime.device).
