@@ -524,7 +524,14 @@ def sorted_group_reduce(starts, last, add_lanes, min_lanes, max_lanes,
     # the sort key doubles as the end-row index (key = idx at end
     # rows, which sort to the front) — no separate idx payload lane
     key = jnp.where(last, idx, idx + jnp.int32(n))       # unique → unstable ok
-    if gcap * 6 <= n:
+    # measured-constant cost model (ns): carrying pays 1.55/row/lane of
+    # extra sort payload; sparse pays the 1.5/row key-only sort plus
+    # the cheaper of L separate gathers (25/output/lane) or a stacked
+    # [n, L] row-gather (0.35/row/lane stack + one 25/output gather).
+    # L=1 at large gcap stays carrying (h2o q8: a lone 1.26e7-element
+    # gather costs ~315 ms vs ~155 ms of sort payload).
+    sparse_cost = 1.5 * n + min(25.0 * gcap * L, 0.35 * n * L + 25.0 * gcap)
+    if sparse_cost < 1.55 * L * n:
         ends_idx = jnp.minimum(
             jax.lax.sort([key], num_keys=1, is_stable=False)[0][:gcap],
             n - 1)
