@@ -1261,6 +1261,34 @@ def _plan_carrier_pack(scatters, cols, null_order):
     return plan
 
 
+def _plan_extract_words(fields, nkeys):
+    """Re-pack the key bit-fields into the fewest 32-bit EXTRACTION
+    words. Sort-key words spend ≤30 bits (bit 30 is the validity
+    sentinel) and fields never straddle them, so h2o q10's 64 key bits
+    occupy three words — but extraction lanes at group ends only carry
+    VALID rows, so the full 32 bits are usable: 64 bits re-pack into
+    two lanes, saving one full-size payload lane (~155 ms at 1e8 rows).
+    Returns (efields: ki → (ewi, eshift, bits), n_ewords) or None when
+    no lane is saved."""
+    bits = [fields[ki][2] for ki in range(nkeys)]
+    order = sorted(range(nkeys), key=lambda k: -bits[k])
+    used: list[int] = []
+    efields: dict[int, tuple[int, int, int]] = {}
+    for ki in order:
+        for wi, u in enumerate(used):
+            if u + bits[ki] <= 32:
+                efields[ki] = (wi, u, bits[ki])
+                used[wi] += bits[ki]
+                break
+        else:
+            efields[ki] = (len(used), 0, bits[ki])
+            used.append(bits[ki])
+    nwords = 1 + max(fields[ki][0] for ki in range(nkeys))
+    if len(used) >= nwords:
+        return None
+    return efields, len(used)
+
+
 def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
                      n, key_mins, key_ranges, null_order=()):
     """Packed-code sort group-by: one jitted program —
@@ -1292,6 +1320,7 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
         return _run_sort(session, sel, table, p, col_order, arrays,
                          fingerprint, n, null_order)
     fields, nwords = plan_w
+    eplan = _plan_extract_words(fields, len(key_names))
     domain = 1
     for r in key_ranges:
         domain *= r
@@ -1393,10 +1422,25 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
                 {}, valid_s, scatters,
                 eval_fn=lambda e: carriers_s[repr(e)], null_fn=null_fn)
             add_s.pop("__counts__")         # counts come from boundary idx
+            if eplan is not None:
+                # re-pack key fields into fewer (full-32-bit) extraction
+                # lanes — elementwise on the sorted words, saves whole
+                # payload lanes in the carrying compaction sort
+                efields, newords = eplan
+                ewords = [jnp.zeros((cap,), jnp.int32)
+                          for _ in range(newords)]
+                for ki in range(len(key_names)):
+                    wi, shift, b = fields[ki]
+                    ewi, eshift, _b = efields[ki]
+                    v = (scw[wi] >> shift) & ((1 << b) - 1)
+                    ewords[ewi] = ewords[ewi] | (v << eshift)
+                extract = {f"__eword{k}": ewords[k] for k in range(newords)}
+            else:
+                extract = {f"__word{wi}": scw[wi] for wi in range(nwords)}
             outs, ends_idx, ng = R.sorted_group_reduce(
                 starts, last, add_s, mins_s, maxs_s, f64s_s, gcap,
                 counts_from_ends="__counts__",
-                extract={f"__word{wi}": scw[wi] for wi in range(nwords)},
+                extract=extract,
                 narrow_tags=narrow)
             counts = outs["__counts__"]
             if med_fps:
@@ -1411,9 +1455,15 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
             for kindp, expr, alias in p["projections"]:
                 if kindp == "key":
                     ki = key_names.index(expr.name.lower())
-                    wi, shift, b = fields[ki]
+                    if eplan is not None:
+                        ewi, eshift, b = eplan[0][ki]
+                        word = outs[f"__eword{ewi}"]
+                        shift = eshift
+                    else:
+                        wi, shift, b = fields[ki]
+                        word = outs[f"__word{wi}"]
                     kdt = key_dtypes[ki]
-                    kv = ((outs[f"__word{wi}"] >> shift) & ((1 << b) - 1)
+                    kv = ((word >> shift) & ((1 << b) - 1)
                           ).astype(kdt) + jnp.asarray(key_mins[ki], kdt)
                     results.append(kv)
                 else:

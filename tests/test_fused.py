@@ -374,3 +374,79 @@ def test_fused_star_natural_join_groupby(db):
     want2 = Counter(int(k) for k in d["id3"])
     got2 = {row[0]: row[1] for row in r2.rows()}
     assert got2 == dict(want2)
+
+
+def test_six_key_extraction_repack(rng):
+    """q10-shaped 6-key group-by: the key bit-fields span three sort
+    words but re-pack into two full-32-bit extraction lanes
+    (fused_groupby._plan_extract_words); sums/counts must stay exact."""
+    s = aq.connect()
+    n = 8192
+    cols = {
+        "id1": rng.integers(1, 11, n).astype(np.int32),
+        "id2": rng.integers(1, 11, n).astype(np.int32),
+        "id3": rng.integers(1, 1_000_001, n).astype(np.int32),
+        "id4": rng.integers(1, 11, n).astype(np.int32),
+        "id5": rng.integers(1, 11, n).astype(np.int32),
+        "id6": rng.integers(1, 1_000_001, n).astype(np.int32),
+        "v3": np.round(rng.random(n) * 100, 6).astype(np.float32),
+    }
+    # pin id3/id6 to full 24-bit ranges so the word plan matches q10's
+    # (id1+id2 | id3+id4 | id5+id6 → three 30-bit sort words)
+    cols["id3"][0] = 1; cols["id3"][1] = 16_000_000
+    cols["id6"][0] = 1; cols["id6"][1] = 16_000_000
+    t = Table("g6", [Column(k, T.FloatT if k == "v3" else T.IntT, v)
+                     for k, v in cols.items()])
+    s.catalog.create(t)
+    from aquery2_tpu.engine.fused_groupby import (_plan_extract_words,
+                                                  _plan_words)
+    ranges = [int(cols[k].max()) - int(cols[k].min()) + 1
+              for k in ("id1", "id2", "id3", "id4", "id5", "id6")]
+    fields, nwords = _plan_words(ranges)
+    assert nwords == 3
+    assert _plan_extract_words(fields, 6) is not None     # 3 → 2 lanes
+    r = s.execute("SELECT id1, id2, id3, id4, id5, id6, sum(v3) AS sv, "
+                  "count(*) AS c FROM g6 GROUP BY id1, id2, id3, id4, "
+                  "id5, id6 ORDER BY id1, id2, id3, id4, id5, id6")
+    from collections import defaultdict
+    sums = defaultdict(float)
+    cnts = defaultdict(int)
+    for i in range(n):
+        k = tuple(int(cols[nm][i]) for nm in
+                  ("id1", "id2", "id3", "id4", "id5", "id6"))
+        sums[k] += float(np.float64(cols["v3"][i]))
+        cnts[k] += 1
+    rows = r.rows()
+    assert len(rows) == len(sums)
+    for row in rows:
+        k = row[:6]
+        assert cnts[k] == row[7]
+        assert abs(row[6] - sums[k]) < 1e-3
+    s.close()
+
+
+def test_tagged_sort_count_join_edges(rng):
+    """Tagged-sort count join (fused_join): negative keys, no matches,
+    empty build side, and duplicate keys on both sides."""
+    s = aq.connect()
+
+    def mk(name, keys):
+        arr = np.asarray(keys, np.int32)
+        s.catalog.create(Table(name, [Column("k", T.IntT, arr)]),
+                         replace=True)
+        return arr
+
+    lk = mk("l", rng.integers(-50, 50, 4000))
+    rk = mk("r", rng.integers(-60, 40, 700))
+    got = s.execute("SELECT count(*) FROM l, r WHERE l.k = r.k").rows()[0][0]
+    want = sum(int((lk == k).sum()) for k in rk)
+    assert got == want
+
+    mk("r2", [999] * 5)                       # no overlap
+    assert s.execute("SELECT count(*) FROM l, r2 "
+                     "WHERE l.k = r2.k").rows()[0][0] == 0
+
+    mk("l2", [7, 7, 7]); mk("r3", [7, 7])     # dup keys both sides
+    assert s.execute("SELECT count(*) FROM l2, r3 "
+                     "WHERE l2.k = r3.k").rows()[0][0] == 6
+    s.close()
