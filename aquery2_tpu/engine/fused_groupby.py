@@ -1209,32 +1209,10 @@ def _plan_carrier_pack(scatters, cols, null_order):
     dtype_str) with source = column name or None for the "\\0null:nm"
     mask lanes; only words holding ≥2 members are emitted (packing a
     lone carrier is a wash)."""
-    fields = []
-    seen: set[str] = set()
-    for _fp, (kind, cargs) in scatters.items():
-        if kind in ("count", "median"):
-            continue
-        for a in cargs:
-            if isinstance(a, A.Star) or not isinstance(a, A.ColumnRef):
-                continue
-            ck = repr(a)
-            if ck in seen:
-                continue
-            seen.add(ck)
-            c = cols.get(a.name)
-            if c is None or c.data.dtype.kind not in "iub":
-                continue
-            if c.data.dtype == jnp.bool_:
-                mn, bits = 0, 1
-            else:
-                mn, mx = (int(x) for x in c.stats())
-                bits = max(1, (mx - mn).bit_length())
-            if bits > 24:
-                continue
-            fields.append((ck, a.name.lower(), mn, bits,
-                           str(c.data.dtype)))
-    for nm in null_order:
-        fields.append(("\0null:" + nm, None, 0, 1, "bool"))
+    if isinstance(scatters, list):          # pre-enumerated candidates
+        fields = scatters
+    else:
+        fields = _carrier_fields(scatters, cols, null_order)
     # greedy first-fit into ≤30-bit words, largest fields first
     fields.sort(key=lambda f: -f[3])
     words: list[list] = []
@@ -1289,6 +1267,65 @@ def _plan_extract_words(fields, nkeys):
     return efields, len(used)
 
 
+def _carrier_fields(scatters, cols, null_order):
+    """Candidate (carrier_key, src, mn, bits, dtype) tuples for bit-level
+    placement: plain int-column scatter args with stats-bounded ranges
+    plus the 1-bit null masks. Shared by the key-word embed plan and the
+    payload pack plan."""
+    fields = []
+    seen: set[str] = set()
+    for _fp, (kind, cargs) in scatters.items():
+        if kind in ("count", "median"):
+            continue
+        for a in cargs:
+            if isinstance(a, A.Star) or not isinstance(a, A.ColumnRef):
+                continue
+            ck = repr(a)
+            if ck in seen:
+                continue
+            seen.add(ck)
+            c = cols.get(a.name)
+            if c is None or c.data.dtype.kind not in "iub":
+                continue
+            if c.data.dtype == jnp.bool_:
+                mn, bits = 0, 1
+            else:
+                mn, mx = (int(x) for x in c.stats())
+                bits = max(1, (mx - mn).bit_length())
+            if bits > 24:
+                continue
+            fields.append((ck, a.name.lower(), mn, bits,
+                           str(c.data.dtype)))
+    for nm in null_order:
+        fields.append(("\0null:" + nm, None, 0, 1, "bool"))
+    return fields
+
+
+def _plan_embed_carriers(fields, nwords, nkeys, cands):
+    """Place carrier bit-fields into the sort-key words' SPARE low bits
+    (key fields shift up to make room) — each embedded carrier deletes
+    a whole payload operand from the sort (~155 ms at 1e8 rows; h2o q3
+    drops from 3 sort operands to 2). Carrier bits sit BELOW every key
+    field, so word order still groups equal keys contiguously; boundary
+    detection masks them off (>> cbits). Disabled under median (the
+    median argument must be the first varying subkey within a group).
+    Returns (embeds: list of (ck, src, mn, bits, wi, eshift, dtype),
+    cbits: per-word embedded-bit totals)."""
+    used = [0] * nwords
+    for ki in range(nkeys):
+        wi, shift, b = fields[ki]
+        used[wi] = max(used[wi], shift + b)
+    cbits = [0] * nwords
+    embeds = []
+    for ck, src, mn, bits, dt in sorted(cands, key=lambda f: -f[3]):
+        for wi in range(nwords):
+            if used[wi] + cbits[wi] + bits <= _WORD_BITS:
+                embeds.append((ck, src, mn, bits, wi, cbits[wi], dt))
+                cbits[wi] += bits
+                break
+    return embeds, cbits
+
+
 def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
                      n, key_mins, key_ranges, null_order=()):
     """Packed-code sort group-by: one jitted program —
@@ -1310,16 +1347,33 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
     scatters = _needed_scatters(p["aggs"])
     cap = int(arrays[0].shape[0])
     narrow = narrow_sum_tags(scatters, cols, cap)
-    pack_plan = _plan_carrier_pack(scatters, cols, null_order)
-    fingerprint = fingerprint + (tuple(sorted(narrow)), repr(pack_plan))
 
     plan_w = _plan_words(key_ranges)
     if plan_w is None:
         # a single key wider than 30 bits: arithmetic int64 packing would
         # need emulated div/mod decode; the multi-key sort handles it
+        pack_plan = _plan_carrier_pack(scatters, cols, null_order)
         return _run_sort(session, sel, table, p, col_order, arrays,
-                         fingerprint, n, null_order)
+                         fingerprint + (tuple(sorted(narrow)),
+                                        repr(pack_plan)), n, null_order)
     fields, nwords = plan_w
+    # key-word spare-bit embeds first (delete a whole operand each),
+    # then pack what remains into shared payload words
+    cands = _carrier_fields(scatters, cols, null_order)
+    if p["has_median"]:
+        embeds, cbits = [], [0] * nwords
+    else:
+        embeds, cbits = _plan_embed_carriers(fields, nwords,
+                                             len(key_names), cands)
+    embedded_keys = {e[0] for e in embeds}
+    pack_plan = _plan_carrier_pack(
+        [c for c in cands if c[0] not in embedded_keys], cols, null_order)
+    fingerprint = fingerprint + (tuple(sorted(narrow)), repr(pack_plan),
+                                 repr(embeds))
+    if any(cbits):
+        # shift every key field above its word's embedded carrier bits
+        fields = {ki: (wi, shift + cbits[wi], b)
+                  for ki, (wi, shift, b) in fields.items()}
     eplan = _plan_extract_words(fields, len(key_names))
     domain = 1
     for r in key_ranges:
@@ -1346,6 +1400,19 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
                 wi, shift, _b = fields[ki]
                 kv = (env[kn] - jnp.asarray(key_mins[ki], env[kn].dtype))
                 wvals[wi] = wvals[wi] | (kv.astype(jnp.int32) << shift)
+            # carriers embedded in the key words' spare LOW bits (below
+            # every key field — grouping order is unaffected; boundary
+            # detection shifts them off)
+            for ck_e, src_e, mn_e, bits_e, wi_e, esh_e, dt_e in embeds:
+                rv = (env_null[ck_e[len("\0null:"):]] if src_e is None
+                      else env[src_e])
+                if rv.dtype == jnp.bool_:
+                    off = rv.astype(jnp.int32)
+                else:
+                    off = (rv - jnp.asarray(mn_e, rv.dtype)
+                           ).astype(jnp.int32)
+                off = off & ((1 << bits_e) - 1)
+                wvals[wi_e] = wvals[wi_e] | (off << esh_e)
             wvals = [jnp.where(valid, wv, sentinel) for wv in wvals]
 
             # median argument becomes a SECONDARY sort key: within each
@@ -1364,8 +1431,10 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
                 carrier_keys.append("\0null:" + nm)
                 carrier_rows.append(env_null[nm])
             # bit-pack small-ranged carriers into shared payload words
-            # (one fewer sort operand ≈ 155 ms at 1e8 rows)
-            packed_members = {m[0] for w in pack_plan for m in w}
+            # (one fewer sort operand ≈ 155 ms at 1e8 rows); embedded
+            # carriers already ride the key words
+            packed_members = {m[0] for w in pack_plan for m in w} \
+                | embedded_keys
             if packed_members:
                 rows_by_key = dict(zip(carrier_keys, carrier_rows))
                 carrier_keys = [k for k in carrier_keys
@@ -1407,13 +1476,25 @@ def _run_sort_packed(session, sel, table, p, col_order, arrays, fingerprint,
                         odt = jnp.dtype(dt)
                         carriers_s[ck] = (uv.astype(odt)
                                           + jnp.asarray(mn, odt))
+            for ck_e, _src, mn_e, bits_e, wi_e, esh_e, dt_e in embeds:
+                uv = (scw[wi_e] >> esh_e) & ((1 << bits_e) - 1)
+                if dt_e == "bool":
+                    carriers_s[ck_e] = uv != 0
+                else:
+                    odt = jnp.dtype(dt_e)
+                    carriers_s[ck_e] = (uv.astype(odt)
+                                        + jnp.asarray(mn_e, odt))
             null_fn = (make_null_fn({nm: carriers_s["\0null:" + nm]
                                      for nm in null_order})
                        if null_order else None)
 
             dif = jnp.zeros((cap - 1,), jnp.bool_)
-            for sw in scw:
-                dif = dif | (sw[1:] != sw[:-1])
+            for wi_d, sw in enumerate(scw):
+                # mask off embedded carrier bits: rows of one group
+                # share keys but differ in carriers (the sentinel word
+                # 2^30 still shifts to a value above every key)
+                swk = (sw >> cbits[wi_d]) if cbits[wi_d] else sw
+                dif = dif | (swk[1:] != swk[:-1])
             starts = jnp.concatenate([jnp.ones((1,), jnp.bool_), dif])
             valid_s = scw[0] < sentinel
             last = jnp.concatenate([dif, jnp.ones((1,), jnp.bool_)]) & valid_s
