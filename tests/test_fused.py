@@ -450,3 +450,28 @@ def test_tagged_sort_count_join_edges(rng):
     assert s.execute("SELECT count(*) FROM l2, r3 "
                      "WHERE l2.k = r3.k").rows()[0][0] == 6
     s.close()
+
+
+def test_median_disables_key_word_embed(rng):
+    """Median rides the packed sort as the secondary key: within each
+    group rows must order by the median argument FIRST, so carrier
+    embedding in the key words (which would interpose carrier bits
+    between the group key and the median key) is gated off. Exactness
+    check on a shape whose carriers would otherwise embed."""
+    s = aq.connect()
+    n = 4096
+    K = rng.integers(1, 3_000_000, n).astype(np.int32)   # 22 bits, spare 8
+    V = rng.integers(1, 9, n).astype(np.int32)           # 3 bits: embeddable
+    X = np.round(rng.random(n) * 100, 6).astype(np.float32)
+    t = Table("m1", [Column("k", T.IntT, K), Column("v", T.IntT, V),
+                     Column("x", T.FloatT, X)])
+    s.catalog.create(t)
+    r = s.execute("SELECT k, median(x) AS mx, sum(v) AS sv FROM m1 "
+                  "GROUP BY k ORDER BY k")
+    rows = r.rows()
+    assert len(rows) == len(np.unique(K))
+    for k, mx, sv in rows[:500]:
+        m = K == k
+        assert abs(mx - float(np.median(X[m].astype(np.float64)))) < 1e-6, k
+        assert sv == int(V[m].sum())
+    s.close()
